@@ -1,0 +1,354 @@
+"""Smooth (unconstrained) dynamics: FK, composite inertia, CRB, RNE.
+
+Replaces the MuJoCo C smooth-dynamics stage the reference consumes through
+dm_control (/root/reference/myosuite/physics/mj_sim_scene.py:51-65). Design is
+TPU-first rather than a translation:
+
+* The kinematic tree is **statically unrolled** at trace time (nbody is tiny,
+  <= ~30 for myoHand): every tree gather becomes a static index, so XLA sees
+  straight-line dense math it can fuse; the batch axis (vmap over envs) is the
+  parallel axis.
+* Spatial algebra uses 6D motion/force vectors in a **world-origin frame**
+  ([angular; linear-at-origin]) — one global frame for the whole tree keeps
+  every pairwise product a plain dense op (MXU-friendly), vs MuJoCo's
+  per-tree com-centered frames.
+* The mass matrix is built densely: M = mask * (F @ cdof^T) with
+  F_i = I_subtree(body(i)) @ cdof_i — a single [nv,6]x[6,nv] contraction.
+
+Functions are single-env; batching is vmap at the step/env layer.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myosuite_mjx_tpu.engine.model import JointType, Model
+from myosuite_mjx_tpu.ops import quat as qmath
+
+
+# ---------------------------------------------------------------------------
+# spatial algebra (world-origin frame): u = [angular(3); linear(3)]
+# ---------------------------------------------------------------------------
+
+
+def motion_cross(u: jax.Array, v: jax.Array) -> jax.Array:
+  """Spatial cross product of motion vectors: u x_m v."""
+  ang = jnp.cross(u[..., :3], v[..., :3])
+  lin = jnp.cross(u[..., :3], v[..., 3:]) + jnp.cross(u[..., 3:], v[..., :3])
+  return jnp.concatenate([ang, lin], axis=-1)
+
+
+def force_cross(u: jax.Array, f: jax.Array) -> jax.Array:
+  """Spatial cross product applied to a force vector: u x_f f."""
+  ang = jnp.cross(u[..., :3], f[..., :3]) + jnp.cross(u[..., 3:], f[..., 3:])
+  lin = jnp.cross(u[..., :3], f[..., 3:])
+  return jnp.concatenate([ang, lin], axis=-1)
+
+
+def spatial_inertia(mass: jax.Array, inertia_diag: jax.Array,
+                    com: jax.Array, imat: jax.Array) -> jax.Array:
+  """6x6 spatial inertia about the world origin.
+
+  mass: (), inertia_diag: (3,) principal moments, com: (3,) world com,
+  imat: (3,3) world orientation of the principal axes.
+  """
+  ic = imat @ (inertia_diag[:, None] * imat.T)  # rotated 3x3 inertia at com
+  cx = qmath.cross_matrix(com)
+  eye = jnp.eye(3, dtype=com.dtype)
+  top_left = ic + mass * (cx @ cx.T)
+  top_right = mass * cx
+  bottom_left = mass * cx.T
+  bottom_right = mass * eye
+  return jnp.concatenate(
+      [
+          jnp.concatenate([top_left, top_right], axis=1),
+          jnp.concatenate([bottom_left, bottom_right], axis=1),
+      ],
+      axis=0,
+  )
+
+
+# ---------------------------------------------------------------------------
+# forward kinematics
+# ---------------------------------------------------------------------------
+
+
+def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
+               mocap_quat: jax.Array):
+  """Body/joint/site/geom world poses. Mirrors mj_kinematics semantics."""
+  dtype = qpos.dtype
+  xpos = [jnp.zeros(3, dtype)] * m.nbody
+  xquat = [qmath.quat_identity(dtype=dtype)] * m.nbody
+  xanchor = [jnp.zeros(3, dtype)] * max(m.njnt, 1)
+  xaxis = [jnp.zeros(3, dtype)] * max(m.njnt, 1)
+
+  for i in range(1, m.nbody):
+    p = int(m.body_parentid[i])
+    body_pos = jnp.asarray(m.body_pos[i], dtype)
+    body_quat = jnp.asarray(m.body_quat[i], dtype)
+    mid = int(m.body_mocapid[i])
+    if mid >= 0:
+      body_pos = mocap_pos[mid]
+      body_quat = mocap_quat[mid]
+    xp = xpos[p] + qmath.quat_rotate(xquat[p], body_pos)
+    xq = qmath.quat_mul(xquat[p], body_quat)
+
+    ja, jn = int(m.body_jntadr[i]), int(m.body_jntnum[i])
+    for j in range(ja, ja + jn):
+      jtype = int(m.jnt_type[j])
+      adr = int(m.jnt_qposadr[j])
+      jpos = jnp.asarray(m.jnt_pos[j], dtype)
+      jaxis = jnp.asarray(m.jnt_axis[j], dtype)
+      if jtype == JointType.FREE:
+        xp = qpos[adr:adr + 3]
+        xq = qmath.normalize(qpos[adr + 3:adr + 7])
+        xanchor[j] = xp
+        xaxis[j] = jaxis
+      else:
+        anchor = xp + qmath.quat_rotate(xq, jpos)
+        axis = qmath.quat_rotate(xq, jaxis)
+        xanchor[j] = anchor
+        xaxis[j] = axis
+        if jtype == JointType.BALL:
+          qloc = qmath.normalize(qpos[adr:adr + 4])
+          xq = qmath.quat_mul(xq, qloc)
+          xp = anchor - qmath.quat_rotate(xq, jpos)
+        elif jtype == JointType.SLIDE:
+          xp = xp + axis * (qpos[adr] - m.qpos0[adr])
+        elif jtype == JointType.HINGE:
+          qloc = qmath.axis_angle_to_quat(jaxis, qpos[adr] - m.qpos0[adr])
+          xq = qmath.quat_mul(xq, qloc)
+          xp = anchor - qmath.quat_rotate(xq, jpos)
+    xpos[i] = xp
+    xquat[i] = qmath.normalize(xq)
+
+  xpos = jnp.stack(xpos)
+  xquat = jnp.stack(xquat)
+  xmat = qmath.quat_to_mat(xquat)
+  xanchor = jnp.stack(xanchor)[:m.njnt]
+  xaxis = jnp.stack(xaxis)[:m.njnt]
+
+  # inertial frames
+  ipos = jnp.asarray(m.body_ipos, dtype)
+  iquat = jnp.asarray(m.body_iquat, dtype)
+  xipos = xpos + jnp.einsum("bij,bj->bi", xmat, ipos)
+  ximat = xmat @ qmath.quat_to_mat(iquat)
+
+  # sites / geoms: static gathers over body ids
+  sb = m.site_bodyid
+  site_xpos = xpos[sb] + jnp.einsum(
+      "bij,bj->bi", xmat[sb], jnp.asarray(m.site_pos, dtype))
+  site_xmat = xmat[sb] @ qmath.quat_to_mat(jnp.asarray(m.site_quat, dtype))
+  gb = m.geom_bodyid
+  geom_xpos = xpos[gb] + jnp.einsum(
+      "bij,bj->bi", xmat[gb], jnp.asarray(m.geom_pos, dtype))
+  geom_xmat = xmat[gb] @ qmath.quat_to_mat(jnp.asarray(m.geom_quat, dtype))
+
+  return dict(
+      xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
+      xanchor=xanchor, xaxis=xaxis, site_xpos=site_xpos, site_xmat=site_xmat,
+      geom_xpos=geom_xpos, geom_xmat=geom_xmat)
+
+
+# ---------------------------------------------------------------------------
+# com-level quantities: subtree com, spatial inertia, dof axes
+# ---------------------------------------------------------------------------
+
+
+def com_pos(m: Model, kin: dict):
+  """subtree_com, cinert (world-origin 6x6), cdof (world-origin axes)."""
+  xipos, ximat = kin["xipos"], kin["ximat"]
+  dtype = xipos.dtype
+  mass = jnp.asarray(m.body_mass, dtype)
+
+  # subtree com by reverse accumulation (statically unrolled)
+  wsum = [mass[i] * xipos[i] for i in range(m.nbody)]
+  msum = [mass[i] for i in range(m.nbody)]
+  for i in range(m.nbody - 1, 0, -1):
+    p = int(m.body_parentid[i])
+    wsum[p] = wsum[p] + wsum[i]
+    msum[p] = msum[p] + msum[i]
+  subtree_com = jnp.stack(
+      [wsum[i] / jnp.maximum(msum[i], 1e-12) for i in range(m.nbody)])
+
+  inertia = jnp.asarray(m.body_inertia, dtype)
+  cinert = jax.vmap(spatial_inertia)(mass, inertia, xipos, ximat)
+
+  # dof motion axes at world origin
+  cdof = [jnp.zeros(6, dtype)] * m.nv
+  for j in range(m.njnt):
+    jtype = int(m.jnt_type[j])
+    vadr = int(m.jnt_dofadr[j])
+    bid = int(m.jnt_bodyid[j])
+    anchor = kin["xanchor"][j]
+    axis = kin["xaxis"][j]
+    xmat_b = kin["xmat"][bid]
+    if jtype == JointType.FREE:
+      for k in range(3):
+        e = jnp.zeros(3, dtype).at[k].set(1.0)
+        cdof[vadr + k] = jnp.concatenate([jnp.zeros(3, dtype), e])
+      for k in range(3):
+        w = xmat_b[:, k]  # child-frame axes (local angular velocity)
+        cdof[vadr + 3 + k] = jnp.concatenate(
+            [w, jnp.cross(anchor, w)])
+    elif jtype == JointType.BALL:
+      for k in range(3):
+        w = xmat_b[:, k]
+        cdof[vadr + k] = jnp.concatenate([w, jnp.cross(anchor, w)])
+    elif jtype == JointType.SLIDE:
+      cdof[vadr] = jnp.concatenate([jnp.zeros(3, dtype), axis])
+    else:  # HINGE
+      cdof[vadr] = jnp.concatenate([axis, jnp.cross(anchor, axis)])
+  cdof = jnp.stack(cdof) if m.nv else jnp.zeros((0, 6), dtype)
+  return subtree_com, cinert, cdof
+
+
+# ---------------------------------------------------------------------------
+# CRB mass matrix + dense factorization
+# ---------------------------------------------------------------------------
+
+
+def _ancestor_mask(m: Model) -> np.ndarray:
+  """mask[i, j] = 1 where dof j is dof i or an ancestor of dof i (static)."""
+  mask = np.zeros((m.nv, m.nv), dtype=np.float64)
+  for i in range(m.nv):
+    j = i
+    while j >= 0:
+      mask[i, j] = 1.0
+      j = int(m.dof_parentid[j])
+  return mask
+
+
+def crb(m: Model, cinert: jax.Array, cdof: jax.Array) -> jax.Array:
+  """Dense joint-space mass matrix via composite rigid bodies."""
+  dtype = cdof.dtype
+  # composite (subtree) inertia per body
+  csub = [cinert[i] for i in range(m.nbody)]
+  for i in range(m.nbody - 1, 0, -1):
+    p = int(m.body_parentid[i])
+    csub[p] = csub[p] + csub[i]
+  # F_i = I_subtree(body(dof_i)) @ cdof_i  -> [nv, 6]
+  f_rows = [csub[int(m.dof_bodyid[i])] @ cdof[i] for i in range(m.nv)]
+  F = jnp.stack(f_rows) if m.nv else jnp.zeros((0, 6), dtype)
+  lower = (F @ cdof.T) * jnp.asarray(_ancestor_mask(m), dtype)
+  qM = lower + lower.T - jnp.diag(jnp.diag(lower))
+  return qM + jnp.diag(jnp.asarray(m.dof_armature, dtype))
+
+
+def factor_m(qM: jax.Array) -> jax.Array:
+  """Cholesky factor (lower) of the mass matrix."""
+  return jnp.linalg.cholesky(qM)
+
+
+def solve_m(qLD: jax.Array, x: jax.Array) -> jax.Array:
+  """Solve M y = x given the Cholesky factor (supports vector or matrix x)."""
+  vec = x.ndim == 1
+  b = x[:, None] if vec else x
+  y = jax.scipy.linalg.cho_solve((qLD, True), b)
+  return y[:, 0] if vec else y
+
+
+# ---------------------------------------------------------------------------
+# velocity products
+# ---------------------------------------------------------------------------
+
+
+def com_vel(m: Model, cdof: jax.Array, qvel: jax.Array):
+  """Body spatial velocities and dof-axis time derivatives (mj_comVel)."""
+  dtype = cdof.dtype
+  cvel = [jnp.zeros(6, dtype)] * m.nbody
+  cdof_dot = [jnp.zeros(6, dtype)] * max(m.nv, 1)
+
+  for i in range(1, m.nbody):
+    p = int(m.body_parentid[i])
+    v = cvel[p]
+    ja, jn = int(m.body_jntadr[i]), int(m.body_jntnum[i])
+    for j in range(ja, ja + jn):
+      jtype = int(m.jnt_type[j])
+      vadr = int(m.jnt_dofadr[j])
+      if jtype == JointType.FREE:
+        # translations: world-fixed axes, no derivative
+        v = v + (cdof[vadr] * qvel[vadr] + cdof[vadr + 1] * qvel[vadr + 1]
+                 + cdof[vadr + 2] * qvel[vadr + 2])
+        vnew = v
+        for k in range(3):
+          vnew = vnew + cdof[vadr + 3 + k] * qvel[vadr + 3 + k]
+        # rotational axes ride the child frame: differentiate against the
+        # full velocity including the joint's own angular motion
+        for k in range(3):
+          cdof_dot[vadr + 3 + k] = motion_cross(vnew, cdof[vadr + 3 + k])
+        v = vnew
+      elif jtype == JointType.BALL:
+        vnew = v
+        for k in range(3):
+          vnew = vnew + cdof[vadr + k] * qvel[vadr + k]
+        for k in range(3):
+          cdof_dot[vadr + k] = motion_cross(vnew, cdof[vadr + k])
+        v = vnew
+      else:  # SLIDE / HINGE: axis invariant under own motion
+        cdof_dot[vadr] = motion_cross(v, cdof[vadr])
+        v = v + cdof[vadr] * qvel[vadr]
+    cvel[i] = v
+
+  cvel = jnp.stack(cvel)
+  cdof_dot = (jnp.stack(cdof_dot)[:m.nv] if m.nv
+              else jnp.zeros((0, 6), dtype))
+  return cvel, cdof_dot
+
+
+def rne(m: Model, cinert: jax.Array, cdof: jax.Array, cdof_dot: jax.Array,
+        cvel: jax.Array, qvel: jax.Array) -> jax.Array:
+  """Bias force C(q, qvel) via recursive Newton-Euler (qacc = 0)."""
+  dtype = cdof.dtype
+  gravity = jnp.asarray(m.opt.gravity, dtype)
+  from myosuite_mjx_tpu.engine.model import DSBL_GRAVITY
+  if m.opt.disableflags & DSBL_GRAVITY:
+    gravity = jnp.zeros(3, dtype)
+
+  cacc = [jnp.zeros(6, dtype)] * m.nbody
+  cacc[0] = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
+  for i in range(1, m.nbody):
+    p = int(m.body_parentid[i])
+    a = cacc[p]
+    da, dn = int(m.body_dofadr[i]), int(m.body_dofnum[i])
+    for j in range(da, da + dn):
+      a = a + cdof_dot[j] * qvel[j]
+    cacc[i] = a
+
+  cfrc = [jnp.zeros(6, dtype)] * m.nbody
+  for i in range(1, m.nbody):
+    mom = cinert[i] @ cvel[i]
+    cfrc[i] = cinert[i] @ cacc[i] + force_cross(cvel[i], mom)
+  for i in range(m.nbody - 1, 0, -1):
+    p = int(m.body_parentid[i])
+    if p > 0:
+      cfrc[p] = cfrc[p] + cfrc[i]
+
+  bias = [cdof[j] @ cfrc[int(m.dof_bodyid[j])] for j in range(m.nv)]
+  return jnp.stack(bias) if m.nv else jnp.zeros((0,), dtype)
+
+
+# ---------------------------------------------------------------------------
+# jacobians
+# ---------------------------------------------------------------------------
+
+
+def point_jacobian(m: Model, cdof: jax.Array, point: jax.Array,
+                   bodyid: int) -> tuple[jax.Array, jax.Array]:
+  """(jacp, jacr): translational/rotational Jacobian of a world point on a
+  body. Static ancestor chain -> dense [3, nv] with a static mask."""
+  dtype = cdof.dtype
+  mask = np.zeros((m.nv,), np.float64)
+  b = int(bodyid)
+  while b > 0:
+    da, dn = int(m.body_dofadr[b]), int(m.body_dofnum[b])
+    mask[da:da + dn] = 1.0
+    b = int(m.body_parentid[b])
+  maskj = jnp.asarray(mask, dtype)
+  ang = cdof[:, :3] * maskj[:, None]      # [nv, 3]
+  lin0 = cdof[:, 3:] * maskj[:, None]
+  # velocity of the point: v(point) = lin0 + ang x point
+  jacp = (lin0 + jnp.cross(ang, point[None, :])).T
+  jacr = ang.T
+  return jacp, jacr
