@@ -1,0 +1,323 @@
+"""Tendon kinematics: lengths and moment arms, including wrap geometry.
+
+This is what makes muscles muscles (SURVEY.md hard-part #2): spatial tendons
+route through sites, wrap over sphere/cylinder geoms (with optional side
+sites), and split over pulleys. Lengths and dense moment-arm rows
+(ten_J: [ntendon, nv]) are computed branchlessly — the wrap/no-wrap decision
+is a ``jnp.where`` over both branches so the whole path stays vmap-uniform.
+
+Moment arms use the stationarity of the wrapped path: only straight segments
+contribute, with wrap tangent points treated as attached to the wrap geom's
+body (the same property MuJoCo's C implementation exploits).
+
+Capability replaced: MuJoCo C spatial-tendon stage consumed by the reference
+via its muscle models (e.g. tendon paths in
+/root/reference/myosuite/simhive/myo_sim/finger/finger_v0.xml).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myosuite_mjx_tpu.engine.model import GeomType, Model, WrapType
+from myosuite_mjx_tpu.engine import smooth
+
+_EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# 2D circle wrap (shared by sphere and cylinder wraps)
+# ---------------------------------------------------------------------------
+
+
+def _perp(p: jax.Array) -> jax.Array:
+  return jnp.stack([-p[..., 1], p[..., 0]], axis=-1)
+
+
+def _tangent_point(p: jax.Array, r: jax.Array, sign: jax.Array) -> jax.Array:
+  """Tangent point on circle of radius r from external 2D point p."""
+  d2 = jnp.maximum(jnp.sum(p * p, axis=-1), _EPS)
+  l = jnp.sqrt(jnp.maximum(d2 - r * r, _EPS))
+  return (r / d2)[..., None] * (r[..., None] * p
+                                + sign[..., None] * l[..., None] * _perp(p))
+
+
+def _arc_angle(t0: jax.Array, t1: jax.Array, sign: jax.Array) -> jax.Array:
+  """Angle travelled from t0 to t1 going counter-clockwise if sign=+1."""
+  a0 = jnp.arctan2(t0[..., 1], t0[..., 0])
+  a1 = jnp.arctan2(t1[..., 1], t1[..., 0])
+  d = (a1 - a0) * sign
+  return jnp.mod(d, 2.0 * jnp.pi)
+
+
+def _candidate(p0, p1, r, sign):
+  """Tangent pair + arc for travelling around the circle ccw if sign=+1.
+
+  Departure tangent point from p0 needs (t0-p0) parallel to +sign*perp(t0)
+  (continuing in the travel direction), which selects the +sign tangent root;
+  the arrival point t1 symmetrically selects the -sign root.
+  """
+  t0 = _tangent_point(p0, r, sign)
+  t1 = _tangent_point(p1, r, -sign)
+  ang = _arc_angle(t0, t1, sign)
+  return t0, t1, ang
+
+
+def wrap_circle(p0: jax.Array, p1: jax.Array, sd: jax.Array | None,
+                r: jax.Array):
+  """2D circle wrap.
+
+  Returns (wrapped, t0, t1, arclen). Both wrap directions are evaluated and
+  the winner selected branchlessly: the shorter total path when there is no
+  side site, else the side the side site lies on (MuJoCo sidesite semantics).
+  """
+  d0 = jnp.linalg.norm(p0, axis=-1)
+  d1 = jnp.linalg.norm(p1, axis=-1)
+  seg = p1 - p0
+  a = jnp.maximum(jnp.sum(seg * seg, axis=-1), _EPS)
+  t = jnp.clip(-jnp.sum(p0 * seg, axis=-1) / a, 0.0, 1.0)
+  closest = p0 + t[..., None] * seg
+  dmin = jnp.linalg.norm(closest, axis=-1)
+
+  endpoints_outside = (d0 > r) & (d1 > r)
+  intersects = dmin < r
+  wrapped = endpoints_outside & intersects
+
+  one = jnp.ones_like(r)
+  t0p, t1p, angp = _candidate(p0, p1, r, one)
+  t0m, t1m, angm = _candidate(p0, p1, r, -one)
+
+  if sd is None:
+    # minimal detour: shorter total 2D path wins
+    lenp = jnp.linalg.norm(p0 - t0p) + r * angp + jnp.linalg.norm(p1 - t1p)
+    lenm = jnp.linalg.norm(p0 - t0m) + r * angm + jnp.linalg.norm(p1 - t1m)
+    pick_p = lenp <= lenm
+  else:
+    # pass on the side site's side: compare arc midpoints against sd
+    def midpt(t0, ang, sign):
+      a0 = jnp.arctan2(t0[..., 1], t0[..., 0]) + sign * 0.5 * ang
+      return jnp.stack([jnp.cos(a0), jnp.sin(a0)], axis=-1)
+    mp = midpt(t0p, angp, 1.0)
+    mm = midpt(t0m, angm, -1.0)
+    sdn = sd / jnp.maximum(jnp.linalg.norm(sd, axis=-1, keepdims=True), _EPS)
+    pick_p = jnp.sum(mp * sdn, axis=-1) >= jnp.sum(mm * sdn, axis=-1)
+
+  t0 = jnp.where(pick_p, t0p, t0m)
+  t1 = jnp.where(pick_p, t1p, t1m)
+  arclen = r * jnp.where(pick_p, angp, angm)
+  return wrapped, t0, t1, arclen
+
+
+# ---------------------------------------------------------------------------
+# 3D wrap over sphere / cylinder geoms
+# ---------------------------------------------------------------------------
+
+
+def wrap_geom(x0: jax.Array, x1: jax.Array, gpos: jax.Array, gmat: jax.Array,
+              radius: jax.Array, geom_type: int, side: jax.Array | None):
+  """Wrap a straight path x0 -> x1 over a sphere or cylinder.
+
+  Returns (wrapped, w0, w1, arclen) with w0/w1 the world-frame wrap points.
+  When not wrapped, w0 = w1 = segment midpoint and arclen = 0, which keeps
+  lengths and (by construction) moment arms exact in the straight case.
+  """
+  # into geom-local frame
+  p0 = gmat.T @ (x0 - gpos)
+  p1 = gmat.T @ (x1 - gpos)
+  ps = gmat.T @ (side - gpos) if side is not None else None
+
+  if geom_type == GeomType.SPHERE:
+    # 2D basis in the plane through the origin containing p0, p1
+    e0 = p0 / jnp.maximum(jnp.linalg.norm(p0), _EPS)
+    p1_perp = p1 - jnp.dot(p1, e0) * e0
+    nrm = jnp.linalg.norm(p1_perp)
+    # degenerate (colinear with center): pick any orthogonal
+    alt = jnp.where(jnp.abs(e0[0]) < 0.9,
+                    jnp.array([1.0, 0.0, 0.0], p0.dtype),
+                    jnp.array([0.0, 1.0, 0.0], p0.dtype))
+    alt_perp = alt - jnp.dot(alt, e0) * e0
+    e1 = jnp.where(nrm > 1e-9, p1_perp / jnp.maximum(nrm, _EPS),
+                   alt_perp / jnp.maximum(jnp.linalg.norm(alt_perp), _EPS))
+    q0 = jnp.stack([jnp.dot(p0, e0), jnp.dot(p0, e1)])
+    q1 = jnp.stack([jnp.dot(p1, e0), jnp.dot(p1, e1)])
+    qs = (jnp.stack([jnp.dot(ps, e0), jnp.dot(ps, e1)])
+          if ps is not None else None)
+    wrapped, t0, t1, arclen = wrap_circle(q0, q1, qs, radius)
+    w0_local = t0[0] * e0 + t0[1] * e1
+    w1_local = t1[0] * e0 + t1[1] * e1
+  elif geom_type == GeomType.CYLINDER:
+    # project on the xy-plane (local z = cylinder axis)
+    q0, q1 = p0[:2], p1[:2]
+    qs = ps[:2] if ps is not None else None
+    wrapped, t0, t1, arc2d = wrap_circle(q0, q1, qs, radius)
+    # distribute the z travel along the 2D path length (helical wrap)
+    l0 = jnp.linalg.norm(t0 - q0)
+    l1 = jnp.linalg.norm(q1 - t1)
+    total2d = jnp.maximum(l0 + arc2d + l1, _EPS)
+    dz = p1[2] - p0[2]
+    z0 = p0[2] + dz * l0 / total2d
+    z1 = p0[2] + dz * (l0 + arc2d) / total2d
+    w0_local = jnp.concatenate([t0, z0[None]])
+    w1_local = jnp.concatenate([t1, z1[None]])
+    arclen = jnp.sqrt(arc2d * arc2d + (z1 - z0) * (z1 - z0))
+  else:
+    raise NotImplementedError(f"wrap geom type {geom_type}")
+
+  w0 = gpos + gmat @ w0_local
+  w1 = gpos + gmat @ w1_local
+  mid = 0.5 * (x0 + x1)
+  w0 = jnp.where(wrapped, w0, mid)
+  w1 = jnp.where(wrapped, w1, mid)
+  arclen = jnp.where(wrapped, arclen, 0.0)
+  return wrapped, w0, w1, arclen
+
+
+# ---------------------------------------------------------------------------
+# tendon path compilation (static, host-side)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _WrapTriple:
+  site0: int
+  geom: int
+  sideid: int   # -1 if none
+  site1: int
+  divisor: float
+
+
+@dataclasses.dataclass(frozen=True)
+class _Straight:
+  site0: int
+  site1: int
+  divisor: float
+
+
+def _compile_spatial(m: Model, t: int) -> list:
+  """Turn a tendon's wrap array slice into straight/wrap elements."""
+  adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+  elems = []
+  divisor = 1.0
+  i = adr
+  end = adr + num
+  prev_site = None
+  while i < end:
+    wt = int(m.wrap_type[i])
+    if wt == WrapType.PULLEY:
+      divisor = float(m.wrap_prm[i])
+      prev_site = None
+      i += 1
+      continue
+    if wt == WrapType.SITE:
+      sid = int(m.wrap_objid[i])
+      if prev_site is not None:
+        elems.append(_Straight(prev_site, sid, divisor))
+      prev_site = sid
+      i += 1
+      continue
+    if wt in (WrapType.SPHERE, WrapType.CYLINDER):
+      assert prev_site is not None and i + 1 < end, "wrap geom needs sites"
+      assert int(m.wrap_type[i + 1]) == WrapType.SITE
+      nxt = int(m.wrap_objid[i + 1])
+      sideid = int(round(float(m.wrap_prm[i])))
+      elems.append(_WrapTriple(prev_site, int(m.wrap_objid[i]), sideid, nxt,
+                               divisor))
+      prev_site = nxt
+      i += 2
+      continue
+    raise NotImplementedError(f"wrap type {wt} in spatial tendon")
+  return elems
+
+
+def _point_jac_row(m: Model, cdof: jax.Array, point: jax.Array,
+                   bodyid: int) -> jax.Array:
+  """[nv, 3] translational jacobian (transposed) of a world point."""
+  jacp, _ = smooth.point_jacobian(m, cdof, point, bodyid)
+  return jacp.T
+
+
+def tendon(m: Model, kin: dict, cdof: jax.Array):
+  """ten_length [ntendon] and dense ten_J [ntendon, nv]."""
+  dtype = cdof.dtype
+  if m.ntendon == 0:
+    return jnp.zeros((0,), dtype), jnp.zeros((0, m.nv), dtype)
+
+  site_xpos = kin["site_xpos"]
+  geom_xpos = kin["geom_xpos"]
+  geom_xmat = kin["geom_xmat"]
+
+  lengths = []
+  jrows = []
+  for t in range(m.ntendon):
+    first_wt = int(m.wrap_type[int(m.tendon_adr[t])])
+    if first_wt == WrapType.JOINT:
+      # fixed tendon: L = sum coef * qpos[j] is computed in forward (needs
+      # qpos); here emit structure-only J and leave length to caller via J.
+      L = jnp.zeros((), dtype)
+      J = jnp.zeros((m.nv,), dtype)
+      adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+      for i in range(adr, adr + num):
+        j = int(m.wrap_objid[i])
+        coef = float(m.wrap_prm[i])
+        dofadr = int(m.jnt_dofadr[j])
+        J = J.at[dofadr].add(coef)
+        # length handled by forward with qpos; store 0 here, caller adds.
+      lengths.append(L)
+      jrows.append(J)
+      continue
+
+    L = jnp.zeros((), dtype)
+    J = jnp.zeros((m.nv,), dtype)
+
+    def straight(p0, b0, p1, b1, divisor, L, J):
+      d = p1 - p0
+      ln = jnp.linalg.norm(d)
+      u = d / jnp.maximum(ln, _EPS)
+      L = L + ln / divisor
+      j1 = _point_jac_row(m, cdof, p1, b1)  # [nv, 3]
+      j0 = _point_jac_row(m, cdof, p0, b0)
+      J = J + ((j1 - j0) @ u) / divisor
+      return L, J
+
+    for e in _compile_spatial(m, t):
+      if isinstance(e, _Straight):
+        b0 = int(m.site_bodyid[e.site0])
+        b1 = int(m.site_bodyid[e.site1])
+        L, J = straight(site_xpos[e.site0], b0, site_xpos[e.site1], b1,
+                        e.divisor, L, J)
+      else:
+        g = e.geom
+        gb = int(m.geom_bodyid[g])
+        b0 = int(m.site_bodyid[e.site0])
+        b1 = int(m.site_bodyid[e.site1])
+        gt = int(m.geom_type[g])
+        side = site_xpos[e.sideid] if e.sideid >= 0 else None
+        radius = jnp.asarray(m.geom_size[g, 0], dtype)
+        wrapped, w0, w1, arclen = wrap_geom(
+            site_xpos[e.site0], site_xpos[e.site1], geom_xpos[g],
+            geom_xmat[g], radius, gt, side)
+        L = L + arclen / e.divisor
+        L, J = straight(site_xpos[e.site0], b0, w0, gb, e.divisor, L, J)
+        L, J = straight(w1, gb, site_xpos[e.site1], b1, e.divisor, L, J)
+    lengths.append(L)
+    jrows.append(J)
+
+  return jnp.stack(lengths), jnp.stack(jrows)
+
+
+def fixed_tendon_length(m: Model, qpos: jax.Array) -> jax.Array:
+  """Additive length for fixed (joint-coef) tendons; zero for spatial."""
+  out = jnp.zeros((m.ntendon,), qpos.dtype)
+  for t in range(m.ntendon):
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    if int(m.wrap_type[adr]) != WrapType.JOINT:
+      continue
+    L = jnp.zeros((), qpos.dtype)
+    for i in range(adr, adr + num):
+      j = int(m.wrap_objid[i])
+      L = L + float(m.wrap_prm[i]) * qpos[int(m.jnt_qposadr[j])]
+    out = out.at[t].set(L)
+  return out
