@@ -84,7 +84,15 @@ def wrap_circle(p0: jax.Array, p1: jax.Array, sd: jax.Array | None,
 
   endpoints_outside = (d0 > r) & (d1 > r)
   intersects = dmin < r
-  wrapped = endpoints_outside & intersects
+  if sd is None:
+    must_wrap = intersects
+  else:
+    # MuJoCo sidesite semantics (verified empirically vs mju_wrap): the
+    # tendon must pass on the side site's side — wrap also when the straight
+    # segment's closest point to the center lies on the opposite side.
+    opposite = jnp.sum(closest * sd, axis=-1) < 0
+    must_wrap = intersects | opposite
+  wrapped = endpoints_outside & must_wrap
 
   one = jnp.ones_like(r)
   t0p, t1p, angp = _candidate(p0, p1, r, one)
