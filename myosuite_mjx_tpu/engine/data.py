@@ -93,8 +93,11 @@ class Data:
   sensordata: jax.Array  # (nsensordata,)
 
 
-def make_data(m: Model, dtype=jnp.float32, ncon: int = 0) -> Data:
+def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
   """Fresh Data at qpos0 (call engine.forward to populate derived fields)."""
+  if ncon is None:
+    from myosuite_mjx_tpu.engine import collision
+    ncon = collision.contact_slot_count(m)
   z = lambda *shape: jnp.zeros(shape, dtype=dtype)
   ident_quat = jnp.tile(
       jnp.array([1, 0, 0, 0], dtype=dtype), (m.nbody, 1))

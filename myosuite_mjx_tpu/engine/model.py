@@ -284,6 +284,25 @@ class Model:
   sensor_adr: np.ndarray         # (nsensor,) int
   sensor_dim: np.ndarray         # (nsensor,) int
 
+  # constraint regularization weights (precomputed by the compiler at qpos0)
+  dof_invweight0: np.ndarray     # (nv,)
+  body_invweight0: np.ndarray    # (nbody, 2) [translation, rotation]
+  tendon_invweight0: np.ndarray  # (ntendon,)
+
+  # explicit contact pairs / excludes
+  npair: int
+  nexclude: int
+  pair_dim: np.ndarray           # (npair,) int
+  pair_geom1: np.ndarray         # (npair,) int
+  pair_geom2: np.ndarray         # (npair,) int
+  pair_solref: np.ndarray        # (npair, 2)
+  pair_solreffriction: np.ndarray  # (npair, 2)
+  pair_solimp: np.ndarray        # (npair, 5)
+  pair_margin: np.ndarray        # (npair,)
+  pair_gap: np.ndarray           # (npair,)
+  pair_friction: np.ndarray      # (npair, 5)
+  exclude_signature: np.ndarray  # (nexclude,) int (body1<<16 | body2)
+
   # defaults / references
   qpos0: np.ndarray              # (nq,)
   qpos_spring: np.ndarray        # (nq,)
@@ -461,6 +480,21 @@ def from_mj(mj: mujoco.MjModel, dtype=np.float64) -> Model:
       eq_solref=f(mj.eq_solref),
       eq_solimp=f(mj.eq_solimp),
       eq_data=f(mj.eq_data),
+      dof_invweight0=f(mj.dof_invweight0),
+      body_invweight0=f(mj.body_invweight0),
+      tendon_invweight0=f(mj.tendon_invweight0),
+      npair=mj.npair,
+      nexclude=mj.nexclude,
+      pair_dim=i(mj.pair_dim),
+      pair_geom1=i(mj.pair_geom1),
+      pair_geom2=i(mj.pair_geom2),
+      pair_solref=f(mj.pair_solref),
+      pair_solreffriction=f(mj.pair_solreffriction),
+      pair_solimp=f(mj.pair_solimp),
+      pair_margin=f(mj.pair_margin),
+      pair_gap=f(mj.pair_gap),
+      pair_friction=f(mj.pair_friction),
+      exclude_signature=i(mj.exclude_signature),
       sensor_type=i(mj.sensor_type),
       sensor_objid=i(mj.sensor_objid),
       sensor_adr=i(mj.sensor_adr),
