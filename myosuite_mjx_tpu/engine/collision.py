@@ -97,8 +97,10 @@ def _combine(m: Model, g1: int, g2: int) -> CandidatePair:
       solref=tuple(float(x) for x in solref),
       solreffriction=(0.0, 0.0),
       solimp=tuple(float(x) for x in solimp),
-      margin=max(float(m.geom_margin[g1]), float(m.geom_margin[g2])),
-      gap=max(float(m.geom_gap[g1]), float(m.geom_gap[g2])))
+      # margin/gap combine additively regardless of priority (verified vs
+      # the oracle: two 0.001-margin geoms yield includemargin 0.002)
+      margin=float(m.geom_margin[g1]) + float(m.geom_margin[g2]),
+      gap=float(m.geom_gap[g1]) + float(m.geom_gap[g2]))
 
 
 _pair_cache: dict[int, list[CandidatePair]] = {}
@@ -316,30 +318,79 @@ def _capsule_capsule(g1pos, g1mat, r1, h1, g2pos, g2mat, r2, h2):
   return _sphere_sphere(p1, r1, p2, r2)
 
 
+def _ellipsoid_surface_point(p: jax.Array, radii: jax.Array):
+  """Exact closest point on an axis-aligned ellipsoid to local point p.
+
+  Solves the KKT condition x_i = a_i^2 p_i / (a_i^2 + mu) with
+  sum (x_i/a_i)^2 = 1 by bisection on mu (g is monotone on the bracket),
+  valid for points outside (mu > 0) and inside (-a_min^2 < mu < 0).
+  Returns (surface point, outward unit normal, signed distance).
+  """
+  a2 = radii * radii
+  amin2 = jnp.min(a2)
+  amax = jnp.max(radii)
+
+  def g(mu):
+    x = a2 * p / (a2 + mu)
+    return jnp.sum((x / radii) ** 2) - 1.0
+
+  lo = -amin2 * (1.0 - 1e-9)
+  hi = amax * jnp.linalg.norm(p) + jnp.max(a2) + 1e-6
+
+  def body(_, carry):
+    lo, hi = carry
+    mid = 0.5 * (lo + hi)
+    pos = g(mid) > 0
+    return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+
+  lo, hi = jax.lax.fori_loop(0, 80, body, (lo, hi))
+  mu = 0.5 * (lo + hi)
+  x = a2 * p / (a2 + mu)
+  grad = x / a2
+  n = grad / jnp.maximum(jnp.linalg.norm(grad), _MINVAL)
+  inside = jnp.sum((p / radii) ** 2) < 1.0
+  dist = jnp.linalg.norm(p - x) * jnp.where(inside, -1.0, 1.0)
+  return x, n, dist
+
+
 def _sphere_ellipsoid(c1, r1, gpos, gmat, radii):
-  # iterative closest point on ellipsoid surface via scaled-space projection
-  # (good approximation for the mildly-eccentric Myo geoms)
   local = gmat.T @ (c1 - gpos)
-  u = local / radii
-  un = jnp.linalg.norm(u)
-  surf_local = local / jnp.maximum(un, _MINVAL)
-  sp = gpos + gmat @ surf_local
-  n_local = (local - surf_local) / radii
-  # outward normal at surface point
-  grad = surf_local / (radii * radii)
-  nrm = grad / jnp.maximum(jnp.linalg.norm(grad), _MINVAL)
-  n = gmat @ nrm
-  dist = jnp.dot(c1 - sp, n) - r1
-  n_out = -n  # from ellipsoid?  we need from g1(sphere) to g2(ellipsoid)
-  # normal from sphere toward ellipsoid = -n (n points away from ellipsoid)
-  pos = c1 + n_out * (r1 + 0.5 * dist)
-  return [(dist, pos, n_out)]
+  x, n_local, dist_c = _ellipsoid_surface_point(local, radii)
+  dist = dist_c - r1
+  n_ell_out = gmat @ n_local       # outward from ellipsoid surface
+  n = -n_ell_out                   # from sphere (g1) toward ellipsoid (g2)
+  surf_ell = gpos + gmat @ x
+  surf_sph = c1 + n * r1
+  pos = 0.5 * (surf_ell + surf_sph)
+  return [(dist, pos, n)]
 
 
 def _capsule_ellipsoid(gpos1, gmat1, r1, h1, gpos2, gmat2, radii):
-  # closest point on capsule axis to ellipsoid center, then sphere-ellipsoid
+  """Exact-ish: golden-section over the capsule axis of the exact
+  point-ellipsoid distance (convex along the segment when separated)."""
   a, b = _capsule_ends(gpos1, gmat1, h1)
-  p = _closest_on_seg(a, b, gpos2)
+  a_l = gmat2.T @ (a - gpos2)
+  b_l = gmat2.T @ (b - gpos2)
+
+  def f(t):
+    p = a_l + t * (b_l - a_l)
+    _, _, dist = _ellipsoid_surface_point(p, radii)
+    return dist
+
+  gr = 0.6180339887498949
+  lo = jnp.zeros((), a_l.dtype)
+  hi = jnp.ones((), a_l.dtype)
+
+  def body(_, carry):
+    lo, hi = carry
+    m1 = hi - gr * (hi - lo)
+    m2 = lo + gr * (hi - lo)
+    left = f(m1) < f(m2)
+    return jnp.where(left, lo, m1), jnp.where(left, m2, hi)
+
+  lo, hi = jax.lax.fori_loop(0, 40, body, (lo, hi))
+  t = 0.5 * (lo + hi)
+  p = a + t * (b - a)
   return _sphere_ellipsoid(p, r1, gpos2, gmat2, radii)
 
 

@@ -119,13 +119,60 @@ def wrap_circle(p0: jax.Array, p1: jax.Array, sd: jax.Array | None,
   return wrapped, t0, t1, arclen
 
 
+def wrap_inside_circle(p0: jax.Array, p1: jax.Array, r: jax.Array,
+                       iters: int = 16):
+  """Inside wrap (side site inside the geom): tendon threads the ring.
+
+  When the straight segment misses the circle, the path catches on the near
+  edge at the single point T minimizing |p0-T| + |T-p1| — no closed form, so
+  Newton on the circle angle with a fixed iteration count (MuJoCo solves
+  this iteratively as well; cf. the wrap_inside additions the reference
+  needed from MJX, /root/reference/gotcha.md).
+  Returns (wrapped, t0, t1, arclen) with t0 == t1 == T and arclen == 0.
+  """
+  d0 = jnp.linalg.norm(p0, axis=-1)
+  d1 = jnp.linalg.norm(p1, axis=-1)
+  seg = p1 - p0
+  a = jnp.maximum(jnp.sum(seg * seg, axis=-1), _EPS)
+  t = jnp.clip(-jnp.sum(p0 * seg, axis=-1) / a, 0.0, 1.0)
+  closest = p0 + t[..., None] * seg
+  dmin = jnp.linalg.norm(closest, axis=-1)
+  wrapped = (dmin >= r) & (d0 > r) & (d1 > r)
+
+  theta0 = jnp.arctan2(closest[..., 1], closest[..., 0])
+
+  def body(_, th):
+    c = r[..., None] * jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)
+    tv = r[..., None] * jnp.stack([-jnp.sin(th), jnp.cos(th)], axis=-1)
+    v0 = p0 - c
+    v1 = p1 - c
+    n0 = jnp.maximum(jnp.linalg.norm(v0, axis=-1), _EPS)
+    n1 = jnp.maximum(jnp.linalg.norm(v1, axis=-1), _EPS)
+    u0 = v0 / n0[..., None]
+    u1 = v1 / n1[..., None]
+    grad = -jnp.sum(tv * (u0 + u1), axis=-1)
+
+    def curv(u, n):
+      tu = jnp.sum(tv * u, axis=-1)
+      return (jnp.sum(tv * tv, axis=-1) - tu * tu) / n
+
+    hess = jnp.sum(c * (u0 + u1), axis=-1) + curv(u0, n0) + curv(u1, n1)
+    return th - grad / jnp.maximum(jnp.abs(hess), _EPS) * jnp.sign(
+        jnp.where(hess == 0, 1.0, hess))
+
+  theta = jax.lax.fori_loop(0, iters, body, theta0)
+  T = r[..., None] * jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+  return wrapped, T, T, jnp.zeros_like(r)
+
+
 # ---------------------------------------------------------------------------
 # 3D wrap over sphere / cylinder geoms
 # ---------------------------------------------------------------------------
 
 
 def wrap_geom(x0: jax.Array, x1: jax.Array, gpos: jax.Array, gmat: jax.Array,
-              radius: jax.Array, geom_type: int, side: jax.Array | None):
+              radius: jax.Array, geom_type: int, side: jax.Array | None,
+              inside: bool = False):
   """Wrap a straight path x0 -> x1 over a sphere or cylinder.
 
   Returns (wrapped, w0, w1, arclen) with w0/w1 the world-frame wrap points.
@@ -153,14 +200,20 @@ def wrap_geom(x0: jax.Array, x1: jax.Array, gpos: jax.Array, gmat: jax.Array,
     q1 = jnp.stack([jnp.dot(p1, e0), jnp.dot(p1, e1)])
     qs = (jnp.stack([jnp.dot(ps, e0), jnp.dot(ps, e1)])
           if ps is not None else None)
-    wrapped, t0, t1, arclen = wrap_circle(q0, q1, qs, radius)
+    if inside:
+      wrapped, t0, t1, arclen = wrap_inside_circle(q0, q1, radius)
+    else:
+      wrapped, t0, t1, arclen = wrap_circle(q0, q1, qs, radius)
     w0_local = t0[0] * e0 + t0[1] * e1
     w1_local = t1[0] * e0 + t1[1] * e1
   elif geom_type == GeomType.CYLINDER:
     # project on the xy-plane (local z = cylinder axis)
     q0, q1 = p0[:2], p1[:2]
     qs = ps[:2] if ps is not None else None
-    wrapped, t0, t1, arc2d = wrap_circle(q0, q1, qs, radius)
+    if inside:
+      wrapped, t0, t1, arc2d = wrap_inside_circle(q0, q1, radius)
+    else:
+      wrapped, t0, t1, arc2d = wrap_circle(q0, q1, qs, radius)
     # distribute the z travel along the 2D path length (helical wrap)
     l0 = jnp.linalg.norm(t0 - q0)
     l1 = jnp.linalg.norm(q1 - t1)
@@ -195,6 +248,29 @@ class _WrapTriple:
   sideid: int   # -1 if none
   site1: int
   divisor: float
+  inside: bool = False
+
+
+def _side_inside_geom(m: Model, geomid: int, sideid: int) -> bool:
+  """Static inside-wrap detection: side site inside the wrap geom.
+
+  Requires site and geom on the same body (true for every Myo model); a
+  moving side site crossing the surface at runtime is not supported.
+  """
+  if sideid < 0:
+    return False
+  if int(m.site_bodyid[sideid]) != int(m.geom_bodyid[geomid]):
+    return False
+  from myosuite_mjx_tpu.ops import quat as qmath
+  gq = np.asarray(m.geom_quat[geomid])
+  rel = np.asarray(
+      qmath.quat_rotate_inv(gq, np.asarray(
+          m.site_pos[sideid] - m.geom_pos[geomid])))
+  r = float(m.geom_size[geomid, 0])
+  if int(m.geom_type[geomid]) == 5:  # cylinder: full 3D containment
+    half = float(m.geom_size[geomid, 1])
+    return bool(np.linalg.norm(rel[:2]) < r and abs(rel[2]) < half)
+  return bool(np.linalg.norm(rel) < r)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,8 +307,9 @@ def _compile_spatial(m: Model, t: int) -> list:
       assert int(m.wrap_type[i + 1]) == WrapType.SITE
       nxt = int(m.wrap_objid[i + 1])
       sideid = int(round(float(m.wrap_prm[i])))
-      elems.append(_WrapTriple(prev_site, int(m.wrap_objid[i]), sideid, nxt,
-                               divisor))
+      gid = int(m.wrap_objid[i])
+      elems.append(_WrapTriple(prev_site, gid, sideid, nxt, divisor,
+                               _side_inside_geom(m, gid, sideid)))
       prev_site = nxt
       i += 2
       continue
@@ -306,7 +383,7 @@ def tendon(m: Model, kin: dict, cdof: jax.Array):
         radius = jnp.asarray(m.geom_size[g, 0], dtype)
         wrapped, w0, w1, arclen = wrap_geom(
             site_xpos[e.site0], site_xpos[e.site1], geom_xpos[g],
-            geom_xmat[g], radius, gt, side)
+            geom_xmat[g], radius, gt, side, inside=e.inside)
         L = L + arclen / e.divisor
         L, J = straight(site_xpos[e.site0], b0, w0, gb, e.divisor, L, J)
         L, J = straight(w1, gb, site_xpos[e.site1], b1, e.divisor, L, J)
