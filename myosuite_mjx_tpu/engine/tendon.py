@@ -261,11 +261,14 @@ def _side_inside_geom(m: Model, geomid: int, sideid: int) -> bool:
     return False
   if int(m.site_bodyid[sideid]) != int(m.geom_bodyid[geomid]):
     return False
-  from myosuite_mjx_tpu.ops import quat as qmath
-  gq = np.asarray(m.geom_quat[geomid])
-  rel = np.asarray(
-      qmath.quat_rotate_inv(gq, np.asarray(
-          m.site_pos[sideid] - m.geom_pos[geomid])))
+  # pure numpy (host-side static structure; must not stage under jit)
+  w, x, y, z = np.asarray(m.geom_quat[geomid])
+  rot = np.array([
+      [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+      [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+      [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+  ])
+  rel = rot.T @ np.asarray(m.site_pos[sideid] - m.geom_pos[geomid])
   r = float(m.geom_size[geomid, 0])
   if int(m.geom_type[geomid]) == 5:  # cylinder: full 3D containment
     half = float(m.geom_size[geomid, 1])

@@ -58,9 +58,12 @@ def run_pair(xml_or_path, nsteps, qvel0=None, atol=1e-5, is_path=False):
   d = edata.make_data(m, dtype=jnp.float64)
   if qvel0 is not None:
     d = d.replace(qvel=jnp.asarray(qvel0, jnp.float64))
+  import jax
+  import functools
+  step = jax.jit(functools.partial(forward.step, m))
   for t in range(nsteps):
     mujoco.mj_step(mj, dref)
-    d = forward.step(m, d)
+    d = step(d)
   np.testing.assert_allclose(np.asarray(d.qpos), dref.qpos, atol=atol,
                              err_msg=f"after {nsteps} steps")
   np.testing.assert_allclose(np.asarray(d.qvel), dref.qvel, atol=atol * 100)
@@ -87,6 +90,9 @@ def test_finger_limits_single_step():
   dref = mujoco.MjData(mj)
   rng = np.random.default_rng(3)
   template = edata.make_data(m, dtype=jnp.float64)
+  import jax
+  import functools
+  fwd = jax.jit(functools.partial(forward.forward, m))
   n_checked = 0
   for _ in range(40):
     # sample beyond limits to activate them
@@ -98,7 +104,7 @@ def test_finger_limits_single_step():
     dref.qvel[:] = qvel
     mujoco.mj_forward(mj, dref)
     d = template.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
-    d = forward.forward(m, d)
+    d = fwd(d)
     if dref.nefc > 0:
       n_checked += 1
     np.testing.assert_allclose(
@@ -117,11 +123,14 @@ def test_finger_full_rollout():
   rng = np.random.default_rng(0)
   ctrls = rng.uniform(0, 1, size=(100, mj.nu))
   d = edata.make_data(m, dtype=jnp.float64)
+  import jax
+  import functools
+  step = jax.jit(functools.partial(forward.step, m))
   for t in range(100):
     dref.ctrl[:] = ctrls[t]
     mujoco.mj_step(mj, dref)
     d = d.replace(ctrl=jnp.asarray(ctrls[t]))
-    d = forward.step(m, d)
+    d = step(d)
     if t == 49:
       np.testing.assert_allclose(np.asarray(d.qpos), dref.qpos, atol=1e-4)
   np.testing.assert_allclose(np.asarray(d.qpos), dref.qpos, atol=5e-3)

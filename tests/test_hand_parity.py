@@ -29,6 +29,9 @@ def test_forward_parity_reached_states(path, tol_frc, tol_acc):
   dref = mujoco.MjData(mj)
   rng = np.random.default_rng(0)
   template = edata.make_data(m, dtype=jnp.float64)
+  import jax
+  import functools
+  fwd = jax.jit(functools.partial(forward.forward, m))
   for t in range(150):
     dref.ctrl[:] = rng.uniform(0, 1, mj.nu)
     mujoco.mj_step(mj, dref)
@@ -40,7 +43,7 @@ def test_forward_parity_reached_states(path, tol_frc, tol_acc):
         qvel=jnp.asarray(dref.qvel.copy()),
         ctrl=jnp.asarray(dref.ctrl.copy()),
         act=jnp.asarray(dref.act.copy()))
-    d = forward.forward(m, d)
+    d = fwd(d)
     np.testing.assert_allclose(
         np.asarray(d.ten_length), dref.ten_length, atol=1e-10)
     np.testing.assert_allclose(

@@ -38,6 +38,9 @@ def test_trajectory_parity_vs_mujoco(path):
   nsteps = 50  # Lyapunov growth ~x1.35/step from machine eps caps horizon
   ctrls = rng.uniform(0, 1, size=(nsteps, mj.nu))
 
+  import jax
+  import functools
+  step = jax.jit(functools.partial(forward.step, m))
   d = edata.make_data(m, dtype=jnp.float64)
   d = forward.forward(m, d)
 
@@ -45,7 +48,7 @@ def test_trajectory_parity_vs_mujoco(path):
     dref.ctrl[:] = ctrls[t]
     mujoco.mj_step(mj, dref)
     d = d.replace(ctrl=jnp.asarray(ctrls[t]))
-    d = forward.step(m, d)
+    d = step(d)
     if (t + 1) % 25 == 0 or t < 3:
       np.testing.assert_allclose(
           np.asarray(d.qpos), dref.qpos, atol=1e-6,
@@ -61,6 +64,9 @@ def test_single_step_parity_random_states():
   mj, m, dref = make_fixture(MYOFINGER)
   rng = np.random.default_rng(7)
   template = edata.make_data(m, dtype=jnp.float64)
+  import jax
+  import functools
+  step = jax.jit(functools.partial(forward.step, m))
   for _ in range(100):
     qpos = np.array([rng.uniform(lo, hi) for lo, hi in mj.jnt_range])
     qvel = rng.normal(scale=1.0, size=mj.nv)
@@ -75,7 +81,7 @@ def test_single_step_parity_random_states():
     d = template.replace(
         qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
         act=jnp.asarray(act), ctrl=jnp.asarray(ctrl))
-    d = forward.step(m, d)
+    d = step(d)
     np.testing.assert_allclose(np.asarray(d.qpos), dref.qpos, atol=1e-12)
     np.testing.assert_allclose(np.asarray(d.qvel), dref.qvel, atol=1e-9)
     np.testing.assert_allclose(np.asarray(d.act), dref.act, atol=1e-12)
