@@ -172,8 +172,11 @@ def _npoints(m: Model, pair: CandidatePair) -> int:
   return 1
 
 
-def contact_slot_count(m: Model) -> int:
-  return sum(_npoints(m, p) for p in candidate_pairs(m))
+def contact_slot_count(m: Model, max_contacts: int | None = None) -> int:
+  """Number of Contact entries Data carries (post-culling)."""
+  total = sum(_npoints(m, p) for p in candidate_pairs(m))
+  k = max_contacts if max_contacts is not None else min(total, 48)
+  return min(k, total)
 
 
 # ---------------------------------------------------------------------------
@@ -469,77 +472,221 @@ def narrowphase(m: Model, d: Data, pair: CandidatePair):
   raise NotImplementedError(f"collision pair types ({t1}, {t2})")
 
 
-# ---------------------------------------------------------------------------
-# contact constraint rows
-# ---------------------------------------------------------------------------
+def _narrow_fn(t1: int, t2: int):
+  """Uniform-signature narrowphase: (p1, m1, s1, p2, m2, s2) -> points."""
+  T = GeomType
+  table = {
+      (T.PLANE, T.SPHERE):
+          lambda p1, m1, s1, p2, m2, s2: _plane_sphere(p1, m1, p2, s2[0]),
+      (T.PLANE, T.CAPSULE):
+          lambda p1, m1, s1, p2, m2, s2: _plane_capsule(
+              p1, m1, p2, m2, s2[0], s2[1]),
+      (T.PLANE, T.ELLIPSOID):
+          lambda p1, m1, s1, p2, m2, s2: _plane_ellipsoid(p1, m1, p2, m2, s2),
+      (T.PLANE, T.BOX):
+          lambda p1, m1, s1, p2, m2, s2: _plane_box(p1, m1, p2, m2, s2),
+      (T.PLANE, T.CYLINDER):
+          lambda p1, m1, s1, p2, m2, s2: _plane_cylinder(
+              p1, m1, p2, m2, s2[0], s2[1]),
+      (T.SPHERE, T.SPHERE):
+          lambda p1, m1, s1, p2, m2, s2: _sphere_sphere(p1, s1[0], p2, s2[0]),
+      (T.SPHERE, T.CAPSULE):
+          lambda p1, m1, s1, p2, m2, s2: _sphere_capsule(
+              p1, s1[0], p2, m2, s2[0], s2[1]),
+      (T.SPHERE, T.ELLIPSOID):
+          lambda p1, m1, s1, p2, m2, s2: _sphere_ellipsoid(
+              p1, s1[0], p2, m2, s2),
+      (T.SPHERE, T.BOX):
+          lambda p1, m1, s1, p2, m2, s2: _sphere_box(p1, s1[0], p2, m2, s2),
+      (T.CAPSULE, T.CAPSULE):
+          lambda p1, m1, s1, p2, m2, s2: _capsule_capsule(
+              p1, m1, s1[0], s1[1], p2, m2, s2[0], s2[1]),
+      (T.CAPSULE, T.ELLIPSOID):
+          lambda p1, m1, s1, p2, m2, s2: _capsule_ellipsoid(
+              p1, m1, s1[0], s1[1], p2, m2, s2),
+      (T.CAPSULE, T.BOX):
+          lambda p1, m1, s1, p2, m2, s2: _capsule_box(
+              p1, m1, s1[0], s1[1], p2, m2, s2),
+  }
+  return table[(t1, t2)]
 
 
-def contact_rows(m: Model, d: Data):
-  """All candidate contacts as constraint rows + padded Contact info."""
+@dataclasses.dataclass(frozen=True)
+class _CollisionSpec:
+  """Static vectorized collision layout.
+
+  groups: ((t1, t2), pair-index numpy arrays) for batched narrowphase.
+  Per-SLOT (contact point) static parameter arrays, in group order.
+  """
+  groups: tuple
+  body1: np.ndarray          # [C]
+  body2: np.ndarray          # [C]
+  geom1: np.ndarray          # [C]
+  geom2: np.ndarray          # [C]
+  friction: np.ndarray       # [C, 5]
+  solref: np.ndarray         # [C, 2]
+  solimp: np.ndarray         # [C, 5]
+  includemargin: np.ndarray  # [C]
+  invweight: np.ndarray      # [C]
+  inv_pyr: np.ndarray        # [C]
+  condim: int
+
+
+_spec_cache: dict[int, "_CollisionSpec | None"] = {}
+
+
+def _collision_spec(m: Model) -> "_CollisionSpec | None":
+  key = id(m)
+  if key in _spec_cache:
+    return _spec_cache[key]
   pairs = candidate_pairs(m)
   if not pairs:
+    _spec_cache[key] = None
+    return None
+  by_type: dict[tuple, list[CandidatePair]] = {}
+  for p in pairs:
+    by_type.setdefault(
+        (int(m.geom_type[p.g1]), int(m.geom_type[p.g2])), []).append(p)
+
+  condims = {p.condim for p in pairs}
+  if condims - {1, 3}:
+    raise NotImplementedError(f"contact condim {condims}")
+  condim = max(condims)
+
+  groups = []
+  b1, b2, g1s, g2s, fric, sr, si, im, iw, iwp = \
+      [], [], [], [], [], [], [], [], [], []
+  for tkey in sorted(by_type):
+    plist = by_type[tkey]
+    groups.append((tkey, dict(
+        g1=np.asarray([p.g1 for p in plist], np.int32),
+        g2=np.asarray([p.g2 for p in plist], np.int32))))
+    npts = _npoints(m, plist[0])
+    # slots are emitted point-major then pair-major under vmap: the vmapped
+    # narrowphase returns, per point-index, arrays over pairs — so slot
+    # order is [point0 of all pairs, point1 of all pairs, ...]
+    for _ in range(npts):
+      for p in plist:
+        bb1 = int(m.geom_bodyid[p.g1])
+        bb2 = int(m.geom_bodyid[p.g2])
+        b1.append(bb1)
+        b2.append(bb2)
+        g1s.append(p.g1)
+        g2s.append(p.g2)
+        fric.append(p.friction)
+        sr.append(p.solref)
+        si.append(p.solimp)
+        im.append(max(p.margin - p.gap, 0.0))
+        w = float(m.body_invweight0[bb1, 0] + m.body_invweight0[bb2, 0])
+        iw.append(w)
+        mu0 = p.friction[0]
+        iwp.append(w * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) / m.opt.impratio)
+  spec = _CollisionSpec(
+      groups=tuple(groups),
+      body1=np.asarray(b1, np.int32), body2=np.asarray(b2, np.int32),
+      geom1=np.asarray(g1s, np.int32), geom2=np.asarray(g2s, np.int32),
+      friction=np.asarray(fric), solref=np.asarray(sr),
+      solimp=np.asarray(si), includemargin=np.asarray(im),
+      invweight=np.asarray(iw), inv_pyr=np.asarray(iwp), condim=condim)
+  _spec_cache[key] = spec
+  return spec
+
+
+def narrowphase_all(m: Model, d: Data, spec: "_CollisionSpec"):
+  """All candidate contact points, vectorized by type group.
+
+  Returns dist [C], pos [C, 3], n [C, 3] in slot order.
+  """
+  dtype = d.qpos.dtype
+  dists, poss, ns = [], [], []
+  for (t1, t2), g in spec.groups:
+    fn = _narrow_fn(t1, t2)
+    p1 = d.geom_xpos[g["g1"]]
+    m1 = d.geom_xmat[g["g1"]]
+    s1 = jnp.asarray(m.geom_size[g["g1"]], dtype)
+    p2 = d.geom_xpos[g["g2"]]
+    m2 = d.geom_xmat[g["g2"]]
+    s2 = jnp.asarray(m.geom_size[g["g2"]], dtype)
+    pts = jax.vmap(fn)(p1, m1, s1, p2, m2, s2)
+    for (di, po, nn) in pts:
+      dists.append(di)
+      poss.append(po)
+      ns.append(nn)
+  return jnp.concatenate(dists), jnp.concatenate(poss), jnp.concatenate(ns)
+
+
+def contacts(m: Model, d: Data, max_contacts: int | None = None):
+  """Culling + contact constraint blocks.
+
+  Returns (blocks, Contact) where blocks is None or a dict with
+  J [R, nv], pos [R], invweight [R], solref [R, 2], solimp [R, 5] for the
+  top-k deepest candidate contacts (R = k * rows-per-contact). Inactive
+  selected slots keep pos > 0 so the solver masks them out.
+  """
+  spec = _collision_spec(m)
+  if spec is None:
     return None, None
   dtype = d.qpos.dtype
-  rows = constraint.Rows([], [], [], [], [], [], [])
-  c_dist, c_pos, c_frame, c_g1, c_g2, c_mrg, c_fric = [], [], [], [], [], [], []
+  dist, pos, n = narrowphase_all(m, d, spec)
+  C = dist.shape[0]
+  im_all = jnp.asarray(spec.includemargin, dtype)
+  score = dist - im_all
 
-  for pair in pairs:
-    b1 = int(m.geom_bodyid[pair.g1])
-    b2 = int(m.geom_bodyid[pair.g2])
-    includemargin = max(pair.margin - pair.gap, 0.0)
-    invweight = float(m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
-    mu0 = pair.friction[0]
-    inv_pyr = invweight * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) \
-        / m.opt.impratio
-    for (dist, pos, n) in narrowphase(m, d, pair):
-      frame = make_frame(n)
-      jac1, _ = smooth.point_jacobian(m, d.cdof, pos, b1)
-      jac2, _ = smooth.point_jacobian(m, d.cdof, pos, b2)
-      djac = jac2 - jac1    # [3, nv]
-      viol = dist - includemargin
-      if pair.condim == 1:
-        rows.J.append(frame[0] @ djac)
-        rows.pos.append(viol)
-        rows.invweight.append(jnp.asarray(invweight, dtype))
-        rows.solref.append(jnp.asarray(pair.solref, dtype))
-        rows.solimp.append(jnp.asarray(pair.solimp, dtype))
-        rows.margin.append(includemargin)
-        rows.is_equality.append(False)
-      else:
-        jn = frame[0] @ djac
-        for i in range(pair.condim - 1):
-          mui = pair.friction[i]
-          jt = frame[min(i + 1, 2)] @ djac if i < 2 else None
-          if i >= 2:
-            # torsional / rolling rows use rotational jacobian
-            _, jr1 = smooth.point_jacobian(m, d.cdof, pos, b1)
-            _, jr2 = smooth.point_jacobian(m, d.cdof, pos, b2)
-            djr = jr2 - jr1
-            jt = frame[i - 2] @ djr
-          for s in (1.0, -1.0):
-            rows.J.append(jn + s * mui * jt)
-            rows.pos.append(viol)
-            rows.invweight.append(jnp.asarray(inv_pyr, dtype))
-            rows.solref.append(jnp.asarray(pair.solref, dtype))
-            rows.solimp.append(jnp.asarray(pair.solimp, dtype))
-            rows.margin.append(includemargin)
-            rows.is_equality.append(False)
-      c_dist.append(dist)
-      c_pos.append(pos)
-      c_frame.append(frame)
-      c_g1.append(pair.g1)
-      c_g2.append(pair.g2)
-      c_mrg.append(includemargin)
-      c_fric.append(jnp.asarray(pair.friction, dtype))
+  k = max_contacts if max_contacts is not None else min(C, 48)
+  k = min(k, C)
+  if k < C:
+    _, idx = jax.lax.top_k(-score, k)
+  else:
+    idx = jnp.arange(C)
 
+  dist_k = dist[idx]
+  pos_k = pos[idx]
+  n_k = n[idx]
+  viol = score[idx]
+  b1 = jnp.asarray(spec.body1)[idx]
+  b2 = jnp.asarray(spec.body2)[idx]
+  fric = jnp.asarray(spec.friction, dtype)[idx]
+  solref = jnp.asarray(spec.solref, dtype)[idx]
+  solimp = jnp.asarray(spec.solimp, dtype)[idx]
+  iw = jnp.asarray(spec.invweight, dtype)[idx]
+  iwp = jnp.asarray(spec.inv_pyr, dtype)[idx]
+
+  frame = jax.vmap(make_frame)(n_k)              # [k, 3, 3]
+
+  def dir_rows(dirs):
+    return (smooth.point_jac_dir(m, d.cdof, pos_k, b2, dirs)
+            - smooth.point_jac_dir(m, d.cdof, pos_k, b1, dirs))
+
+  jn = dir_rows(frame[:, 0])                     # [k, nv]
+  if spec.condim == 1:
+    J = jn[:, None, :]
+    iw_rows = iw[:, None]
+    rows_per = 1
+  else:
+    jt1 = dir_rows(frame[:, 1])
+    jt2 = dir_rows(frame[:, 2])
+    mu1 = fric[:, 0:1]
+    mu2 = fric[:, 1:2]
+    J = jnp.stack([
+        jn + mu1 * jt1, jn - mu1 * jt1,
+        jn + mu2 * jt2, jn - mu2 * jt2,
+    ], axis=1)                                   # [k, 4, nv]
+    iw_rows = jnp.broadcast_to(iwp[:, None], (k, 4))
+    rows_per = 4
+
+  R = k * rows_per
+  blocks = dict(
+      J=J.reshape(R, m.nv),
+      pos=jnp.broadcast_to(viol[:, None], (k, rows_per)).reshape(R),
+      invweight=iw_rows.reshape(R),
+      solref=jnp.broadcast_to(solref[:, None, :],
+                              (k, rows_per, 2)).reshape(R, 2),
+      solimp=jnp.broadcast_to(solimp[:, None, :],
+                              (k, rows_per, 5)).reshape(R, 5),
+  )
   info = Contact(
-      dist=jnp.stack(c_dist),
-      pos=jnp.stack(c_pos),
-      frame=jnp.stack(c_frame),
-      friction=jnp.stack(c_fric),
-      solref=jnp.zeros((len(c_dist), 2), dtype),
-      solimp=jnp.zeros((len(c_dist), 5), dtype),
-      geom1=jnp.asarray(np.array(c_g1, np.int32)),
-      geom2=jnp.asarray(np.array(c_g2, np.int32)),
-      includemargin=jnp.asarray(np.array(c_mrg), dtype))
-  return rows, info
+      dist=dist_k, pos=pos_k, frame=frame, friction=fric,
+      solref=solref, solimp=solimp,
+      geom1=jnp.asarray(spec.geom1)[idx], geom2=jnp.asarray(spec.geom2)[idx],
+      includemargin=jnp.asarray(spec.includemargin, dtype)[idx])
+  return blocks, info

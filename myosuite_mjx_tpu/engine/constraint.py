@@ -1,14 +1,15 @@
 """Constraint row construction (efc system).
 
-Builds the fixed-size constraint system consumed by the Newton solver:
-equality couplings, joint/tendon limits, and contacts, each as dense rows
-J [nv], with reference acceleration ``aref`` and inverse regularizer ``D``
-derived from MuJoCo's solref/solimp impedance semantics (so solver fixed
-points match the reference engine's).
+Assembles the fixed-size constraint system consumed by the Newton solver:
+equality couplings, joint/tendon limits, and contacts, as dense blocks
+J [nefc, nv] with reference acceleration ``aref`` and inverse regularizer
+``D`` derived from MuJoCo's solref/solimp impedance semantics (so solver
+fixed points match the reference engine's).
 
-Row layout is static per model (all potentially-active rows are always
-materialized; inactive rows get D = 0), which keeps shapes vmap-uniform —
-the TPU-native replacement for MuJoCo's dynamically-sized efc arrays.
+All limit rows are materialized statically (vectorized over the model's
+limited joints/tendons) and masked by activity; contacts arrive pre-culled
+from engine.collision. Shapes are static per model — the TPU-native
+replacement for MuJoCo's dynamically-sized efc arrays.
 """
 from __future__ import annotations
 
@@ -62,134 +63,159 @@ def kbi(m: Model, solref: jax.Array, solimp: jax.Array, pos: jax.Array):
   return k, b, imp
 
 
-@dataclasses.dataclass
-class Rows:
-  """Dense constraint rows (lists host-assembled, stacked by caller)."""
-  J: list
-  pos: list            # constraint violation (efc_pos)
-  invweight: list
-  solref: list
-  solimp: list
-  margin: list
-  is_equality: list    # python bools (static)
+@dataclasses.dataclass(frozen=True)
+class _LimitSpec:
+  """Static layout of limit/equality rows (numpy index arrays)."""
+  jl_qadr: np.ndarray     # [LJ] qpos address of limited hinge/slide joints
+  jl_dadr: np.ndarray     # [LJ]
+  jl_range: np.ndarray    # [LJ, 2]
+  jl_margin: np.ndarray   # [LJ]
+  jl_invw: np.ndarray     # [LJ]
+  jl_solref: np.ndarray   # [LJ, 2]
+  jl_solimp: np.ndarray   # [LJ, 5]
+  tl_idx: np.ndarray      # [LT] limited tendon ids
+  eq_j1: np.ndarray       # [E] joint-equality obj ids
+  eq_j2: np.ndarray       # [E] (-1 for constant)
 
 
-def _joint_limit_rows(m: Model, d: Data, rows: Rows):
+_spec_cache: dict[int, _LimitSpec] = {}
+
+
+def _limit_spec(m: Model) -> _LimitSpec:
+  key = id(m)
+  if key in _spec_cache:
+    return _spec_cache[key]
+  qadr, dadr, rng, mrg, invw, sr, si = [], [], [], [], [], [], []
   for j in range(m.njnt):
     if not bool(m.jnt_limited[j]):
       continue
-    jt = int(m.jnt_type[j])
-    if jt not in (JointType.HINGE, JointType.SLIDE):
+    if int(m.jnt_type[j]) not in (JointType.HINGE, JointType.SLIDE):
       raise NotImplementedError("ball joint limits")
-    qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-    lo, hi = float(m.jnt_range[j, 0]), float(m.jnt_range[j, 1])
-    q = d.qpos[qadr]
-    dist_lo = q - lo
-    dist_hi = hi - q
-    lower_closer = dist_lo < dist_hi
-    dist = jnp.minimum(dist_lo, dist_hi)
-    sign = jnp.where(lower_closer, 1.0, -1.0)
-    J = jnp.zeros(m.nv, d.qpos.dtype).at[dadr].set(sign)
-    rows.J.append(J)
-    rows.pos.append(dist - float(m.jnt_margin[j]))
-    rows.invweight.append(jnp.asarray(m.dof_invweight0[dadr], d.qpos.dtype))
-    rows.solref.append(jnp.asarray(m.jnt_solref[j], d.qpos.dtype))
-    rows.solimp.append(jnp.asarray(m.jnt_solimp[j], d.qpos.dtype))
-    rows.margin.append(float(m.jnt_margin[j]))
-    rows.is_equality.append(False)
-
-
-def _tendon_limit_rows(m: Model, d: Data, rows: Rows):
-  for t in range(m.ntendon):
-    if not bool(m.tendon_limited[t]):
-      continue
-    lo, hi = float(m.tendon_range[t, 0]), float(m.tendon_range[t, 1])
-    L = d.ten_length[t]
-    dist_lo = L - lo
-    dist_hi = hi - L
-    lower_closer = dist_lo < dist_hi
-    dist = jnp.minimum(dist_lo, dist_hi)
-    sign = jnp.where(lower_closer, 1.0, -1.0)
-    rows.J.append(sign * d.ten_J[t])
-    rows.pos.append(dist - float(m.tendon_margin[t]))
-    rows.invweight.append(
-        jnp.asarray(m.tendon_invweight0[t], d.qpos.dtype))
-    rows.solref.append(jnp.asarray(m.tendon_solref_lim[t], d.qpos.dtype))
-    rows.solimp.append(jnp.asarray(m.tendon_solimp_lim[t], d.qpos.dtype))
-    rows.margin.append(float(m.tendon_margin[t]))
-    rows.is_equality.append(False)
-
-
-def _eq_joint_rows(m: Model, d: Data, rows: Rows):
+    qadr.append(int(m.jnt_qposadr[j]))
+    dadr.append(int(m.jnt_dofadr[j]))
+    rng.append(m.jnt_range[j])
+    mrg.append(float(m.jnt_margin[j]))
+    invw.append(float(m.dof_invweight0[int(m.jnt_dofadr[j])]))
+    sr.append(m.jnt_solref[j])
+    si.append(m.jnt_solimp[j])
+  tl = [t for t in range(m.ntendon) if bool(m.tendon_limited[t])]
+  eq_j1, eq_j2 = [], []
   for e in range(m.neq):
     if int(m.eq_type[e]) != EqType.JOINT:
       raise NotImplementedError(f"equality type {int(m.eq_type[e])}")
-    if not bool(m.eq_active0[e]):
-      continue
-    j1 = int(m.eq_obj1id[e])
-    j2 = int(m.eq_obj2id[e])
-    data = m.eq_data[e]
-    q1adr, d1adr = int(m.jnt_qposadr[j1]), int(m.jnt_dofadr[j1])
-    dtype = d.qpos.dtype
-    if j2 < 0:
-      pos = d.qpos[q1adr] - m.qpos0[q1adr] - float(data[0])
-      J = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0)
-      iw = m.dof_invweight0[d1adr]
-    else:
-      q2adr, d2adr = int(m.jnt_qposadr[j2]), int(m.jnt_dofadr[j2])
-      dif = d.qpos[q2adr] - m.qpos0[q2adr]
-      # quartic coupling: qpos1 - qpos0_1 = poly(dif)
-      poly = (data[0] + data[1] * dif + data[2] * dif**2
-              + data[3] * dif**3 + data[4] * dif**4)
-      dpoly = (data[1] + 2 * data[2] * dif + 3 * data[3] * dif**2
-               + 4 * data[4] * dif**3)
-      pos = d.qpos[q1adr] - m.qpos0[q1adr] - poly
-      J = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0).at[d2adr].set(-dpoly)
-      iw = m.dof_invweight0[d1adr] + m.dof_invweight0[d2adr]
-    rows.J.append(J)
-    rows.pos.append(pos)
-    rows.invweight.append(jnp.asarray(iw, dtype))
-    rows.solref.append(jnp.asarray(m.eq_solref[e], dtype))
-    rows.solimp.append(jnp.asarray(m.eq_solimp[e], dtype))
-    rows.margin.append(0.0)
-    rows.is_equality.append(True)
+    if bool(m.eq_active0[e]):
+      eq_j1.append(int(m.eq_obj1id[e]))
+      eq_j2.append(int(m.eq_obj2id[e]))
+  spec = _LimitSpec(
+      jl_qadr=np.asarray(qadr, np.int32), jl_dadr=np.asarray(dadr, np.int32),
+      jl_range=np.asarray(rng).reshape(-1, 2), jl_margin=np.asarray(mrg),
+      jl_invw=np.asarray(invw), jl_solref=np.asarray(sr).reshape(-1, 2),
+      jl_solimp=np.asarray(si).reshape(-1, 5),
+      tl_idx=np.asarray(tl, np.int32),
+      eq_j1=np.asarray(eq_j1, np.int32), eq_j2=np.asarray(eq_j2, np.int32))
+  _spec_cache[key] = spec
+  return spec
 
 
-def make_efc(m: Model, d: Data, contact_rows: Rows | None = None):
+def make_efc(m: Model, d: Data, contact_blocks: dict | None):
   """Assemble the dense constraint system.
 
-  Returns (J [nefc, nv], aref [nefc], D [nefc], active_fn) where D is zero
-  for rows that cannot be active at this state and ``is_equality`` marks
-  two-sided rows. Returns None if the model can produce no constraints.
+  Returns (J, aref, D, is_eq, pos) or None when no constraints can exist.
+  Row order: equality, joint limits, tendon limits, contacts.
   """
   dtype = d.qpos.dtype
-  rows = Rows([], [], [], [], [], [], [])
   dsbl = m.opt.disableflags
   if dsbl & DSBL_CONSTRAINT:
     return None
-  if m.neq and not (dsbl & DSBL_EQUALITY):
-    _eq_joint_rows(m, d, rows)
-  if not (dsbl & DSBL_LIMIT):
-    _joint_limit_rows(m, d, rows)
-    _tendon_limit_rows(m, d, rows)
-  if contact_rows is not None and not (dsbl & DSBL_CONTACT):
-    rows.J += contact_rows.J
-    rows.pos += contact_rows.pos
-    rows.invweight += contact_rows.invweight
-    rows.solref += contact_rows.solref
-    rows.solimp += contact_rows.solimp
-    rows.margin += contact_rows.margin
-    rows.is_equality += contact_rows.is_equality
+  spec = _limit_spec(m)
 
-  if not rows.J:
+  Js, poss, invws, srs, sis, eqs = [], [], [], [], [], []
+
+  # --- joint-coupling equality rows ---
+  if len(spec.eq_j1) and not (dsbl & DSBL_EQUALITY):
+    for e in range(m.neq):
+      if int(m.eq_type[e]) != EqType.JOINT or not bool(m.eq_active0[e]):
+        continue
+      j1 = int(m.eq_obj1id[e])
+      j2 = int(m.eq_obj2id[e])
+      data = m.eq_data[e]
+      q1adr, d1adr = int(m.jnt_qposadr[j1]), int(m.jnt_dofadr[j1])
+      if j2 < 0:
+        pos = d.qpos[q1adr] - m.qpos0[q1adr] - float(data[0])
+        J = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0)
+        iw = m.dof_invweight0[d1adr]
+      else:
+        q2adr, d2adr = int(m.jnt_qposadr[j2]), int(m.jnt_dofadr[j2])
+        dif = d.qpos[q2adr] - m.qpos0[q2adr]
+        poly = (data[0] + data[1] * dif + data[2] * dif**2
+                + data[3] * dif**3 + data[4] * dif**4)
+        dpoly = (data[1] + 2 * data[2] * dif + 3 * data[3] * dif**2
+                 + 4 * data[4] * dif**3)
+        pos = d.qpos[q1adr] - m.qpos0[q1adr] - poly
+        J = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0).at[d2adr].set(-dpoly)
+        iw = m.dof_invweight0[d1adr] + m.dof_invweight0[d2adr]
+      Js.append(J[None])
+      poss.append(pos[None])
+      invws.append(jnp.asarray([iw], dtype))
+      srs.append(jnp.asarray(m.eq_solref[e], dtype)[None])
+      sis.append(jnp.asarray(m.eq_solimp[e], dtype)[None])
+      eqs.append(np.array([True]))
+
+  if not (dsbl & DSBL_LIMIT):
+    # --- joint limits (vectorized over limited joints) ---
+    LJ = len(spec.jl_qadr)
+    if LJ:
+      q = d.qpos[spec.jl_qadr]
+      lo = jnp.asarray(spec.jl_range[:, 0], dtype)
+      hi = jnp.asarray(spec.jl_range[:, 1], dtype)
+      dist_lo = q - lo
+      dist_hi = hi - q
+      sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
+      dist = jnp.minimum(dist_lo, dist_hi)
+      J = jnp.zeros((LJ, m.nv), dtype).at[np.arange(LJ),
+                                          spec.jl_dadr].set(sign)
+      Js.append(J)
+      poss.append(dist - jnp.asarray(spec.jl_margin, dtype))
+      invws.append(jnp.asarray(spec.jl_invw, dtype))
+      srs.append(jnp.asarray(spec.jl_solref, dtype))
+      sis.append(jnp.asarray(spec.jl_solimp, dtype))
+      eqs.append(np.zeros(LJ, bool))
+
+    # --- tendon limits ---
+    LT = len(spec.tl_idx)
+    if LT:
+      tl = spec.tl_idx
+      L = d.ten_length[tl]
+      lo = jnp.asarray(m.tendon_range[tl, 0], dtype)
+      hi = jnp.asarray(m.tendon_range[tl, 1], dtype)
+      dist_lo = L - lo
+      dist_hi = hi - L
+      sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
+      dist = jnp.minimum(dist_lo, dist_hi)
+      Js.append(sign[:, None] * d.ten_J[tl])
+      poss.append(dist - jnp.asarray(m.tendon_margin[tl], dtype))
+      invws.append(jnp.asarray(m.tendon_invweight0[tl], dtype))
+      srs.append(jnp.asarray(m.tendon_solref_lim[tl], dtype))
+      sis.append(jnp.asarray(m.tendon_solimp_lim[tl], dtype))
+      eqs.append(np.zeros(LT, bool))
+
+  if contact_blocks is not None and not (dsbl & DSBL_CONTACT):
+    Js.append(contact_blocks["J"])
+    poss.append(contact_blocks["pos"])
+    invws.append(contact_blocks["invweight"])
+    srs.append(contact_blocks["solref"])
+    sis.append(contact_blocks["solimp"])
+    eqs.append(np.zeros(contact_blocks["J"].shape[0], bool))
+
+  if not Js:
     return None
 
-  J = jnp.stack(rows.J)
-  pos = jnp.stack([jnp.asarray(p, dtype) for p in rows.pos])
-  invweight = jnp.stack(rows.invweight)
-  solref = jnp.stack(rows.solref)
-  solimp = jnp.stack(rows.solimp)
-  is_eq = np.asarray(rows.is_equality)
+  J = jnp.concatenate(Js)
+  pos = jnp.concatenate(poss)
+  invweight = jnp.concatenate(invws)
+  solref = jnp.concatenate(srs)
+  solimp = jnp.concatenate(sis)
+  is_eq = jnp.asarray(np.concatenate(eqs))
 
   k, b, imp = kbi(m, solref, solimp, pos)
   vel = J @ d.qvel
@@ -197,11 +223,6 @@ def make_efc(m: Model, d: Data, contact_rows: Rows | None = None):
   r = jnp.maximum(invweight * (1.0 - imp) / jnp.maximum(imp, _MINVAL),
                   _MINVAL)
   D = 1.0 / r
-
-  # inequality rows are only active when violated (pos < 0); equality rows
-  # are always active. Inactive rows keep zero D so they drop out of the
-  # solver cost entirely.
-  eq_mask = jnp.asarray(is_eq)
-  active_now = eq_mask | (pos < 0)
-  D = jnp.where(active_now, D, 0.0)
-  return J, aref, D, jnp.asarray(is_eq), pos
+  # inequality rows participate only while violated (pos < 0)
+  D = jnp.where(is_eq | (pos < 0), D, 0.0)
+  return J, aref, D, is_eq, pos

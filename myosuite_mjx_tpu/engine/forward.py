@@ -218,14 +218,17 @@ def fwd_passive(m: Model, d: Data) -> Data:
 
 
 def fwd_acceleration(m: Model, d: Data) -> Data:
-  # applied cartesian wrenches -> generalized forces
+  # applied cartesian wrenches -> generalized forces (vectorized over bodies)
   qfrc_applied = d.qfrc_applied
-  # xfrc_applied: [nbody, 6] force/torque at body com
-  for i in range(1, m.nbody):
-    # contribution masked statically over the body's ancestor dofs
-    jacp, jacr = smooth.point_jacobian(m, d.cdof, d.xipos[i], i)
-    qfrc_applied = qfrc_applied + jacp.T @ d.xfrc_applied[i, :3] \
-        + jacr.T @ d.xfrc_applied[i, 3:]
+  if m.nbody > 1:
+    import numpy as np
+    bodies = np.arange(1, m.nbody)
+    lin_rows = smooth.point_jac_dir(
+        m, d.cdof, d.xipos[1:], bodies, d.xfrc_applied[1:, :3])  # [B, nv]
+    mask = jnp.asarray(smooth.body_dof_mask(m), d.qpos.dtype)[bodies]
+    rot_rows = jnp.einsum(
+        "nk,bk->bn", d.cdof[:, :3], d.xfrc_applied[1:, 3:]) * mask
+    qfrc_applied = qfrc_applied + (lin_rows + rot_rows).sum(axis=0)
   qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
                  + qfrc_applied)
   qacc_smooth = smooth.solve_m(d.qLD, qfrc_smooth)

@@ -334,6 +334,42 @@ def rne(m: Model, cinert: jax.Array, cdof: jax.Array, cdof_dot: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+_mask_cache: dict[int, np.ndarray] = {}
+
+
+def body_dof_mask(m: Model) -> np.ndarray:
+  """[nbody, nv] mask: dofs on the ancestor chain of each body (static)."""
+  key = id(m)
+  if key not in _mask_cache:
+    mask = np.zeros((m.nbody, m.nv))
+    for b in range(m.nbody):
+      i = b
+      while i > 0:
+        da, dn = int(m.body_dofadr[i]), int(m.body_dofnum[i])
+        mask[b, da:da + dn] = 1.0
+        i = int(m.body_parentid[i])
+    _mask_cache[key] = mask
+  return _mask_cache[key]
+
+
+def point_jac_dir(m: Model, cdof: jax.Array, points: jax.Array,
+                  bodyids, dirs: jax.Array) -> jax.Array:
+  """Directional point jacobians, vectorized: rows (jacp(p_i, b_i)^T d_i).
+
+  points: [S, 3], bodyids: [S] (static numpy or traced int array),
+  dirs: [S, 3]. Returns [S, nv] — the generalized-coordinate gradient of
+  each point's displacement along its direction. One fused computation for
+  all tendon segments / contacts instead of per-point unrolled jacobians.
+  """
+  mask = jnp.asarray(body_dof_mask(m), cdof.dtype)[bodyids]      # [S, nv]
+  ang = cdof[:, :3]                                              # [nv, 3]
+  lin = cdof[:, 3:]
+  # v(point) = lin + ang x point  per dof; project on dir
+  cross = jnp.cross(ang[None, :, :], points[:, None, :])         # [S, nv, 3]
+  proj = jnp.einsum("snk,sk->sn", lin[None, :, :] + cross, dirs)
+  return proj * mask
+
+
 def point_jacobian(m: Model, cdof: jax.Array, point: jax.Array,
                    bodyid: int) -> tuple[jax.Array, jax.Array]:
   """(jacp, jacr): translational/rotational Jacobian of a world point on a

@@ -87,8 +87,8 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
 def fwd_constraint(m: Model, d: Data) -> Data:
   """Solve for constraint forces and the constrained acceleration."""
   from myosuite_mjx_tpu.engine import collision
-  contact_rows, contact_info = collision.contact_rows(m, d)
-  efc = constraint.make_efc(m, d, contact_rows)
+  contact_blocks, contact_info = collision.contacts(m, d)
+  efc = constraint.make_efc(m, d, contact_blocks)
   if efc is None:
     return d.replace(
         qfrc_constraint=jnp.zeros_like(d.qfrc_smooth),

@@ -320,15 +320,67 @@ def _compile_spatial(m: Model, t: int) -> list:
   return elems
 
 
-def _point_jac_row(m: Model, cdof: jax.Array, point: jax.Array,
-                   bodyid: int) -> jax.Array:
-  """[nv, 3] translational jacobian (transposed) of a world point."""
-  jacp, _ = smooth.point_jacobian(m, cdof, point, bodyid)
-  return jacp.T
+@dataclasses.dataclass(frozen=True)
+class _TendonSpec:
+  """Static vectorized tendon layout: index arrays grouped for batched ops."""
+  straight_s0: np.ndarray     # [S] site ids
+  straight_s1: np.ndarray
+  straight_div: np.ndarray    # [S] float
+  straight_tidx: np.ndarray   # [S] tendon index
+  # wrap groups keyed by (geom_type, inside, has_side): each a dict of
+  # numpy arrays site0/geom/side/site1/div/tidx
+  wrap_groups: tuple
+
+
+_spec_cache: dict[int, _TendonSpec] = {}
+
+
+def _tendon_spec(m: Model) -> _TendonSpec:
+  key = id(m)
+  if key in _spec_cache:
+    return _spec_cache[key]
+  s0, s1, sdiv, stidx = [], [], [], []
+  groups: dict[tuple, dict[str, list]] = {}
+  for t in range(m.ntendon):
+    if int(m.wrap_type[int(m.tendon_adr[t])]) == WrapType.JOINT:
+      continue
+    for e in _compile_spatial(m, t):
+      if isinstance(e, _Straight):
+        s0.append(e.site0)
+        s1.append(e.site1)
+        sdiv.append(e.divisor)
+        stidx.append(t)
+      else:
+        gt = int(m.geom_type[e.geom])
+        gkey = (gt, e.inside, e.sideid >= 0)
+        g = groups.setdefault(gkey, dict(
+            site0=[], geom=[], side=[], site1=[], div=[], tidx=[]))
+        g["site0"].append(e.site0)
+        g["geom"].append(e.geom)
+        g["side"].append(max(e.sideid, 0))
+        g["site1"].append(e.site1)
+        g["div"].append(e.divisor)
+        g["tidx"].append(t)
+  wrap_groups = tuple(
+      (k, {n: np.asarray(v) for n, v in g.items()})
+      for k, g in sorted(groups.items()))
+  spec = _TendonSpec(
+      straight_s0=np.asarray(s0, np.int32),
+      straight_s1=np.asarray(s1, np.int32),
+      straight_div=np.asarray(sdiv),
+      straight_tidx=np.asarray(stidx, np.int32),
+      wrap_groups=wrap_groups)
+  _spec_cache[key] = spec
+  return spec
 
 
 def tendon(m: Model, kin: dict, cdof: jax.Array):
-  """ten_length [ntendon] and dense ten_J [ntendon, nv]."""
+  """ten_length [ntendon] and dense ten_J [ntendon, nv], fully vectorized.
+
+  All straight segments across all tendons are one fused computation; wrap
+  elements are vmapped per (geom-type, inside, sidesite) group; length and
+  moment-arm contributions land via static scatter-adds.
+  """
   dtype = cdof.dtype
   if m.ntendon == 0:
     return jnp.zeros((0,), dtype), jnp.zeros((0, m.nv), dtype)
@@ -336,64 +388,77 @@ def tendon(m: Model, kin: dict, cdof: jax.Array):
   site_xpos = kin["site_xpos"]
   geom_xpos = kin["geom_xpos"]
   geom_xmat = kin["geom_xmat"]
+  spec = _tendon_spec(m)
 
-  lengths = []
-  jrows = []
+  # collect directed segments: (p_start, b_start, p_end, b_end, div, tidx)
+  p_start, b_start, p_end, b_end, divs, tidxs = [], [], [], [], [], []
+
+  if len(spec.straight_s0):
+    p_start.append(site_xpos[spec.straight_s0])
+    b_start.append(m.site_bodyid[spec.straight_s0])
+    p_end.append(site_xpos[spec.straight_s1])
+    b_end.append(m.site_bodyid[spec.straight_s1])
+    divs.append(spec.straight_div)
+    tidxs.append(spec.straight_tidx)
+
+  ten_length = jnp.zeros((m.ntendon,), dtype)
+
+  for (gt, inside, has_side), g in spec.wrap_groups:
+    x0 = site_xpos[g["site0"]]
+    x1 = site_xpos[g["site1"]]
+    gp = geom_xpos[g["geom"]]
+    gmt = geom_xmat[g["geom"]]
+    radius = jnp.asarray(m.geom_size[g["geom"], 0], dtype)
+    side = site_xpos[g["side"]] if has_side else None
+    fn = lambda a0, a1, q, qm, r, sd: wrap_geom(
+        a0, a1, q, qm, r, gt, sd, inside=inside)
+    if has_side:
+      _, w0, w1, arclen = jax.vmap(fn)(x0, x1, gp, gmt, radius, side)
+    else:
+      _, w0, w1, arclen = jax.vmap(
+          lambda a0, a1, q, qm, r: fn(a0, a1, q, qm, r, None))(
+              x0, x1, gp, gmt, radius)
+    ten_length = ten_length.at[g["tidx"]].add(arclen / g["div"])
+    gb = m.geom_bodyid[g["geom"]]
+    sb0 = m.site_bodyid[g["site0"]]
+    sb1 = m.site_bodyid[g["site1"]]
+    p_start += [x0, w1]
+    b_start += [sb0, gb]
+    p_end += [w0, x1]
+    b_end += [gb, sb1]
+    divs += [g["div"], g["div"]]
+    tidxs += [g["tidx"], g["tidx"]]
+
+  if p_start:
+    ps = jnp.concatenate(p_start)
+    pe = jnp.concatenate(p_end)
+    bs = np.concatenate(b_start)
+    be = np.concatenate(b_end)
+    div = jnp.asarray(np.concatenate(divs), dtype)
+    tidx = np.concatenate(tidxs)
+
+    d = pe - ps
+    ln = jnp.linalg.norm(d, axis=-1)
+    u = d / jnp.maximum(ln, _EPS)[:, None]
+    ten_length = ten_length.at[tidx].add(ln / div)
+
+    rows_end = smooth.point_jac_dir(m, cdof, pe, be, u)    # [S, nv]
+    rows_start = smooth.point_jac_dir(m, cdof, ps, bs, u)
+    contrib = (rows_end - rows_start) / div[:, None]
+    ten_J = jnp.zeros((m.ntendon, m.nv), dtype).at[tidx].add(contrib)
+  else:
+    ten_J = jnp.zeros((m.ntendon, m.nv), dtype)
+
+  # fixed (joint-coefficient) tendon moment rows
   for t in range(m.ntendon):
-    first_wt = int(m.wrap_type[int(m.tendon_adr[t])])
-    if first_wt == WrapType.JOINT:
-      # fixed tendon: L = sum coef * qpos[j] is computed in forward (needs
-      # qpos); here emit structure-only J and leave length to caller via J.
-      L = jnp.zeros((), dtype)
-      J = jnp.zeros((m.nv,), dtype)
-      adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
-      for i in range(adr, adr + num):
-        j = int(m.wrap_objid[i])
-        coef = float(m.wrap_prm[i])
-        dofadr = int(m.jnt_dofadr[j])
-        J = J.at[dofadr].add(coef)
-        # length handled by forward with qpos; store 0 here, caller adds.
-      lengths.append(L)
-      jrows.append(J)
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    if int(m.wrap_type[adr]) != WrapType.JOINT:
       continue
+    for i in range(adr, adr + num):
+      dofadr = int(m.jnt_dofadr[int(m.wrap_objid[i])])
+      ten_J = ten_J.at[t, dofadr].add(float(m.wrap_prm[i]))
 
-    L = jnp.zeros((), dtype)
-    J = jnp.zeros((m.nv,), dtype)
-
-    def straight(p0, b0, p1, b1, divisor, L, J):
-      d = p1 - p0
-      ln = jnp.linalg.norm(d)
-      u = d / jnp.maximum(ln, _EPS)
-      L = L + ln / divisor
-      j1 = _point_jac_row(m, cdof, p1, b1)  # [nv, 3]
-      j0 = _point_jac_row(m, cdof, p0, b0)
-      J = J + ((j1 - j0) @ u) / divisor
-      return L, J
-
-    for e in _compile_spatial(m, t):
-      if isinstance(e, _Straight):
-        b0 = int(m.site_bodyid[e.site0])
-        b1 = int(m.site_bodyid[e.site1])
-        L, J = straight(site_xpos[e.site0], b0, site_xpos[e.site1], b1,
-                        e.divisor, L, J)
-      else:
-        g = e.geom
-        gb = int(m.geom_bodyid[g])
-        b0 = int(m.site_bodyid[e.site0])
-        b1 = int(m.site_bodyid[e.site1])
-        gt = int(m.geom_type[g])
-        side = site_xpos[e.sideid] if e.sideid >= 0 else None
-        radius = jnp.asarray(m.geom_size[g, 0], dtype)
-        wrapped, w0, w1, arclen = wrap_geom(
-            site_xpos[e.site0], site_xpos[e.site1], geom_xpos[g],
-            geom_xmat[g], radius, gt, side, inside=e.inside)
-        L = L + arclen / e.divisor
-        L, J = straight(site_xpos[e.site0], b0, w0, gb, e.divisor, L, J)
-        L, J = straight(w1, gb, site_xpos[e.site1], b1, e.divisor, L, J)
-    lengths.append(L)
-    jrows.append(J)
-
-  return jnp.stack(lengths), jnp.stack(jrows)
+  return ten_length, ten_J
 
 
 def fixed_tendon_length(m: Model, qpos: jax.Array) -> jax.Array:
