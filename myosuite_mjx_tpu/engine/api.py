@@ -29,16 +29,27 @@ class Physics:
   def __init__(self, m: Model, dtype=jnp.float32):
     self.model = m
     self.dtype = dtype
-    self.step = jax.jit(functools.partial(forward_mod.step, m))
-    self.forward = jax.jit(functools.partial(forward_mod.forward, m))
-    self.step_batch = jax.jit(jax.vmap(functools.partial(forward_mod.step, m)))
+
+    def _prec(fn):
+      # float32 physics needs true-f32 matmuls; the TPU default would route
+      # geometry products through bf16 and NaN the wrap/cholesky math.
+      def wrapped(*args, **kw):
+        with jax.default_matmul_precision("highest"):
+          return fn(*args, **kw)
+      return wrapped
+
+    self.step = jax.jit(_prec(functools.partial(forward_mod.step, m)))
+    self.forward = jax.jit(_prec(functools.partial(forward_mod.forward, m)))
+    self.step_batch = jax.jit(
+        _prec(jax.vmap(functools.partial(forward_mod.step, m))))
     self.forward_batch = jax.jit(
-        jax.vmap(functools.partial(forward_mod.forward, m)))
+        _prec(jax.vmap(functools.partial(forward_mod.forward, m))))
 
     def _substep(d: Data, n: int) -> Data:
       def body(d, _):
         return forward_mod.step(m, d), ()
-      d, _ = jax.lax.scan(body, d, (), length=n)
+      with jax.default_matmul_precision("highest"):
+        d, _ = jax.lax.scan(body, d, (), length=n)
       return d
 
     self._substep = _substep

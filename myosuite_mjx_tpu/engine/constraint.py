@@ -141,19 +141,18 @@ def make_efc(m: Model, d: Data, contact_blocks: dict | None):
       data = m.eq_data[e]
       q1adr, d1adr = int(m.jnt_qposadr[j1]), int(m.jnt_dofadr[j1])
       if j2 < 0:
-        pos = d.qpos[q1adr] - m.qpos0[q1adr] - float(data[0])
+        pos = d.qpos[q1adr] - float(m.qpos0[q1adr]) - float(data[0])
         J = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0)
-        iw = m.dof_invweight0[d1adr]
+        iw = float(m.dof_invweight0[d1adr])
       else:
         q2adr, d2adr = int(m.jnt_qposadr[j2]), int(m.jnt_dofadr[j2])
-        dif = d.qpos[q2adr] - m.qpos0[q2adr]
-        poly = (data[0] + data[1] * dif + data[2] * dif**2
-                + data[3] * dif**3 + data[4] * dif**4)
-        dpoly = (data[1] + 2 * data[2] * dif + 3 * data[3] * dif**2
-                 + 4 * data[4] * dif**3)
-        pos = d.qpos[q1adr] - m.qpos0[q1adr] - poly
+        dif = d.qpos[q2adr] - float(m.qpos0[q2adr])
+        c0, c1, c2, c3, c4 = (float(x) for x in data[:5])
+        poly = c0 + c1 * dif + c2 * dif**2 + c3 * dif**3 + c4 * dif**4
+        dpoly = c1 + 2 * c2 * dif + 3 * c3 * dif**2 + 4 * c4 * dif**3
+        pos = d.qpos[q1adr] - float(m.qpos0[q1adr]) - poly
         J = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0).at[d2adr].set(-dpoly)
-        iw = m.dof_invweight0[d1adr] + m.dof_invweight0[d2adr]
+        iw = float(m.dof_invweight0[d1adr] + m.dof_invweight0[d2adr])
       Js.append(J[None])
       poss.append(pos[None])
       invws.append(jnp.asarray([iw], dtype))

@@ -196,7 +196,7 @@ def fwd_passive(m: Model, d: Data) -> Data:
     if jt not in (JointType.HINGE, JointType.SLIDE):
       raise NotImplementedError("spring on ball/free joint")
     qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-    qfrc = qfrc.at[dadr].add(-k * (d.qpos[qadr] - m.qpos_spring[qadr]))
+    qfrc = qfrc.at[dadr].add(-k * (d.qpos[qadr] - float(m.qpos_spring[qadr])))
 
   # tendon springs/dampers
   if m.ntendon:
@@ -284,7 +284,8 @@ def _clamp_act(m: Model, act: jax.Array) -> jax.Array:
     if int(m.actuator_dyntype[u]) == DynType.MUSCLE:
       out = out.at[aadr].set(jnp.clip(out[aadr], 0.0, 1.0))
     elif bool(m.actuator_actlimited[u]):
-      lo, hi = m.actuator_actrange[u]
+      lo, hi = (float(m.actuator_actrange[u, 0]),
+                float(m.actuator_actrange[u, 1]))
       out = out.at[aadr].set(jnp.clip(out[aadr], lo, hi))
   return out
 

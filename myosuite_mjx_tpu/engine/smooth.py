@@ -115,9 +115,9 @@ def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
           xq = qmath.quat_mul(xq, qloc)
           xp = anchor - qmath.quat_rotate(xq, jpos)
         elif jtype == JointType.SLIDE:
-          xp = xp + axis * (qpos[adr] - m.qpos0[adr])
+          xp = xp + axis * (qpos[adr] - float(m.qpos0[adr]))
         elif jtype == JointType.HINGE:
-          qloc = qmath.axis_angle_to_quat(jaxis, qpos[adr] - m.qpos0[adr])
+          qloc = qmath.axis_angle_to_quat(jaxis, qpos[adr] - float(m.qpos0[adr]))
           xq = qmath.quat_mul(xq, qloc)
           xp = anchor - qmath.quat_rotate(xq, jpos)
     xpos[i] = xp

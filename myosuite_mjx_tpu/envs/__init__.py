@@ -1,0 +1,5 @@
+"""Batched env suite: import registers all task IDs."""
+from myosuite_mjx_tpu.envs import myobase  # noqa: F401  (registers IDs)
+from myosuite_mjx_tpu.envs.base import BatchedEnv, EnvState, MyoEnv
+from myosuite_mjx_tpu.envs.registry import (
+    make, register, register_env_variant, registry_ids)

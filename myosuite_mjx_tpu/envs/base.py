@@ -1,0 +1,209 @@
+"""Batched env core: pure-function MyoSuite environments.
+
+TPU-native redesign of the reference's gym stack (MujocoEnv + BaseV0,
+/root/reference/myosuite/envs/env_base.py:31, envs/myo/base_v0.py:15): the
+mutable dual-sim/Robot object graph becomes an immutable task object with two
+pure functions
+
+    reset(rng)          -> EnvState
+    step(state, action) -> EnvState
+
+vmap-able over thousands of env instances under one jit. Reference behavior
+kept exactly: muscle sigmoid action projection (base_v0.py:87-97), frame_skip
+substepping (robot.py:844-910), obs_dict -> fixed-layout obs vector
+(obs_vec_dict.py:56-98), weighted reward dicts and the dense/sparse/solved/
+done info contract (env_base.py:540-571), init-pose heuristics
+(env_base.py:116-139).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from myosuite_mjx_tpu.engine import data as data_mod
+from myosuite_mjx_tpu.engine import forward as forward_mod
+from myosuite_mjx_tpu.engine import model as model_mod
+from myosuite_mjx_tpu.engine.data import Data
+from myosuite_mjx_tpu.engine.model import DynType, JointType, TrnType
+
+
+@struct.dataclass
+class EnvState:
+  """Complete env state: physics Data + episode bookkeeping + task aux."""
+  data: Data
+  obs: jax.Array
+  reward: jax.Array            # () dense reward
+  done: jax.Array              # () bool — task termination
+  steps: jax.Array             # () int32
+  rng: jax.Array               # PRNG key for this env instance
+  info: dict                   # rwd_sparse / solved / ... scalars
+  aux: dict                    # task state (targets, phases, ...)
+
+
+class MyoEnv:
+  """Base class for batched musculoskeletal tasks."""
+
+  DEFAULT_OBS_KEYS: list = []
+  DEFAULT_RWD_KEYS_AND_WEIGHTS: dict = {}
+
+  def __init__(self, model_path: str, frame_skip: int = 10,
+               obs_keys: list | None = None,
+               weighted_reward_keys: dict | None = None,
+               normalize_act: bool = True,
+               horizon: int = 100,
+               dtype=jnp.float32,
+               **task_kwargs):
+    self.model = model_mod.load_model(model_path, dtype=np.float64)
+    self.dtype = dtype
+    self.frame_skip = frame_skip
+    self.horizon = horizon
+    self.normalize_act = normalize_act
+    self.obs_keys = list(obs_keys if obs_keys is not None
+                         else self.DEFAULT_OBS_KEYS)
+    m = self.model
+    if m.na > 0 and "act" not in self.obs_keys:
+      self.obs_keys.append("act")
+    self.rwd_keys_wt = dict(weighted_reward_keys or
+                            self.DEFAULT_RWD_KEYS_AND_WEIGHTS)
+    self.dt = m.opt.timestep * frame_skip
+
+    # init pose: mean of ranges for linearly-actuated joints
+    init_qpos = np.array(m.qpos0, dtype=np.float64)
+    if normalize_act and m.nu:
+      jnt_ids = m.actuator_trnid[
+          m.actuator_trntype == TrnType.JOINT, 0]
+      lin = np.isin(m.jnt_type, (JointType.SLIDE, JointType.HINGE))
+      ids = np.intersect1d(jnt_ids, np.where(lin)[0])
+      init_qpos[m.jnt_qposadr[ids]] = m.jnt_range[ids].mean(axis=1)
+    self.init_qpos = init_qpos
+    self.init_qvel = np.zeros(m.nv)
+    self._muscle_mask = np.asarray(
+        m.actuator_dyntype == DynType.MUSCLE)
+    self._setup(**task_kwargs)
+
+  # ---- template methods -------------------------------------------------
+
+  def _setup(self, **kwargs):
+    if kwargs:
+      raise TypeError(f"unused task kwargs: {sorted(kwargs)}")
+
+  def reset_aux(self, rng: jax.Array) -> dict:
+    """Task state drawn at episode start (targets etc.)."""
+    return {}
+
+  def reset_qpos_qvel(self, rng: jax.Array, aux: dict):
+    """Initial (qpos, qvel) for an episode."""
+    return (jnp.asarray(self.init_qpos, self.dtype),
+            jnp.asarray(self.init_qvel, self.dtype))
+
+  def get_obs_dict(self, data: Data, aux: dict) -> dict:
+    raise NotImplementedError
+
+  def get_reward_dict(self, obs_dict: dict, data: Data, aux: dict) -> dict:
+    raise NotImplementedError
+
+  # ---- obs vector codec (static layout, ObsVecDict equivalent) ----------
+
+  def obsdict2obsvec(self, obs_dict: dict) -> jax.Array:
+    return jnp.concatenate(
+        [jnp.atleast_1d(obs_dict[k]).ravel() for k in self.obs_keys])
+
+  # ---- core pure functions ----------------------------------------------
+
+  def _action_to_ctrl(self, action: jax.Array) -> jax.Array:
+    """Normalized action -> actuator ctrl (muscle sigmoid projection)."""
+    m = self.model
+    if not self.normalize_act:
+      return action
+    mask = jnp.asarray(self._muscle_mask)
+    sig = 1.0 / (1.0 + jnp.exp(-5.0 * (action - 0.5)))
+    # non-muscle actuators: linear map [-1, 1] -> ctrlrange
+    lo = jnp.asarray(m.actuator_ctrlrange[:, 0], action.dtype)
+    hi = jnp.asarray(m.actuator_ctrlrange[:, 1], action.dtype)
+    lin = lo + (action + 1.0) * 0.5 * (hi - lo)
+    if m.na:
+      return jnp.where(mask, sig, lin)
+    return lin
+
+  def _mk_state(self, data: Data, rng: jax.Array, aux: dict,
+                steps) -> EnvState:
+    obs_dict = self.get_obs_dict(data, aux)
+    rwd = self.get_reward_dict(obs_dict, data, aux)
+    dense = sum(wt * rwd[key] for key, wt in self.rwd_keys_wt.items())
+    return EnvState(
+        data=data,
+        obs=self.obsdict2obsvec(obs_dict).astype(self.dtype),
+        reward=jnp.asarray(dense, self.dtype),
+        done=jnp.asarray(rwd["done"], bool),
+        steps=jnp.asarray(steps, jnp.int32),
+        rng=rng,
+        info=dict(
+            rwd_dense=jnp.asarray(dense, self.dtype),
+            rwd_sparse=jnp.asarray(rwd["sparse"], self.dtype),
+            solved=jnp.asarray(rwd["solved"], bool),
+        ),
+        aux=aux)
+
+  def reset(self, rng: jax.Array) -> EnvState:
+    rng, k_aux, k_state = jax.random.split(rng, 3)
+    aux = self.reset_aux(k_aux)
+    qpos, qvel = self.reset_qpos_qvel(k_state, aux)
+    d = data_mod.make_data(self.model, dtype=self.dtype)
+    d = d.replace(qpos=qpos.astype(self.dtype), qvel=qvel.astype(self.dtype))
+    d = forward_mod.forward(self.model, d)
+    return self._mk_state(d, rng, aux, 0)
+
+  def step(self, state: EnvState, action: jax.Array) -> EnvState:
+    ctrl = self._action_to_ctrl(action.astype(self.dtype))
+    d = state.data.replace(ctrl=ctrl)
+
+    def substep(d, _):
+      return forward_mod.step(self.model, d), ()
+
+    d, _ = jax.lax.scan(substep, d, (), length=self.frame_skip)
+    return self._mk_state(d, state.rng, state.aux, state.steps + 1)
+
+  # ---- batched API -------------------------------------------------------
+
+  def truncated(self, state: EnvState) -> jax.Array:
+    return state.steps >= self.horizon
+
+  def autoreset_step(self, state: EnvState, action: jax.Array) -> EnvState:
+    """step() with brax-style auto-reset on done | horizon."""
+    nxt = self.step(state, action)
+    rng, k = jax.random.split(nxt.rng)
+    fresh = self.reset(k)
+    fresh = fresh.replace(rng=rng)
+    restart = nxt.done | self.truncated(nxt)
+    # unbatched env => restart is a scalar and broadcasts over every leaf
+    return jax.tree.map(lambda a, b: jnp.where(restart, a, b), fresh, nxt)
+
+
+class BatchedEnv:
+  """vmap + jit wrapper over a MyoEnv: the vectorized rollout surface.
+
+  Replaces both SB3 subprocess vec-envs (sb3_job_script.py:49) and brax's
+  vmapped PipelineEnv wrapping with a single-device batched API.
+  """
+
+  def __init__(self, env: MyoEnv, num_envs: int):
+    self.env = env
+    self.num_envs = num_envs
+
+    def _prec(fn):
+      def wrapped(*args):
+        with jax.default_matmul_precision("highest"):
+          return fn(*args)
+      return wrapped
+
+    self.reset = jax.jit(_prec(jax.vmap(env.reset)))
+    self.step = jax.jit(_prec(jax.vmap(env.autoreset_step)))
+
+  def init(self, seed: int = 0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), self.num_envs)
+    return self.reset(keys)

@@ -1,0 +1,161 @@
+"""myobase task registrations (SURVEY.md layer 5).
+
+IDs/kwargs mirror the reference registry
+(/root/reference/myosuite/envs/myo/myobase/__init__.py) so users can switch
+by name. Growing set — pose family first (finger/elbow/hand), then reach,
+key-turn, object-hold, pen, walk.
+"""
+from __future__ import annotations
+
+from myosuite_mjx_tpu.envs.pose import PoseEnv
+from myosuite_mjx_tpu.envs.registry import asset, register
+
+# ---- Finger ----------------------------------------------------------------
+
+register(
+    "myoFingerPoseFixed-v0", PoseEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/finger/myofinger_v0.xml"),
+        target_jnt_range={
+            "IFadb": (0, 0),
+            "IFmcp": (0, 0),
+            "IFpip": (0.75, 0.75),
+            "IFdip": (0.75, 0.75),
+        },
+        normalize_act=True,
+    ))
+
+register(
+    "myoFingerPoseRandom-v0", PoseEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/finger/myofinger_v0.xml"),
+        target_jnt_range={
+            "IFadb": (-0.2, 0.2),
+            "IFmcp": (-0.4, 1),
+            "IFpip": (0.1, 1),
+            "IFdip": (0.1, 1),
+        },
+        normalize_act=True,
+    ))
+
+register(
+    "motorFingerPoseFixed-v0", PoseEnv, max_episode_steps=200,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/finger/motorfinger_v0.xml"),
+        target_jnt_range={
+            "IFadb": (0, 0),
+            "IFmcp": (0, 0),
+            "IFpip": (0.75, 0.75),
+            "IFdip": (0.75, 0.75),
+        },
+        normalize_act=True,
+        frame_skip=5,
+    ))
+
+register(
+    "motorFingerPoseRandom-v0", PoseEnv, max_episode_steps=200,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/finger/motorfinger_v0.xml"),
+        target_jnt_range={
+            "IFadb": (-0.2, 0.2),
+            "IFmcp": (-0.4, 1),
+            "IFpip": (0.1, 1),
+            "IFdip": (0.1, 1),
+        },
+        normalize_act=True,
+        frame_skip=5,
+    ))
+
+# ---- Elbow -----------------------------------------------------------------
+
+register(
+    "myoElbowPose1D6MFixed-v0", PoseEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=asset(
+            "simhive/myo_sim/elbow/myoelbow_1dof6muscles.xml"),
+        target_jnt_range={"r_elbow_flex": (2, 2)},
+        normalize_act=True,
+        pose_thd=0.175,
+        reset_type="random",
+    ))
+
+register(
+    "myoElbowPose1D6MRandom-v0", PoseEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=asset(
+            "simhive/myo_sim/elbow/myoelbow_1dof6muscles.xml"),
+        target_jnt_range={"r_elbow_flex": (0, 2.27)},
+        normalize_act=True,
+        pose_thd=0.175,
+        reset_type="random",
+    ))
+
+# ---- Hand ------------------------------------------------------------------
+
+_HAND_POSE_XML = asset("envs/myo/assets/hand/myohand_pose.xml")
+
+_HAND_JNT_NAMES = [
+    "pro_sup", "deviation", "flexion", "cmc_abduction", "cmc_flexion",
+    "mp_flexion", "ip_flexion", "mcp2_flexion", "mcp2_abduction",
+    "pm2_flexion", "md2_flexion", "mcp3_flexion", "mcp3_abduction",
+    "pm3_flexion", "md3_flexion", "mcp4_flexion", "mcp4_abduction",
+    "pm4_flexion", "md4_flexion", "mcp5_flexion", "mcp5_abduction",
+    "pm5_flexion", "md5_flexion",
+]
+
+# ASL numeral hand poses (task data mirrored from the reference registry,
+# envs/myo/myobase/__init__.py:300-414)
+_ASL_QPOS = [
+    "0 0 0 0.5624 0.28272 -0.75573 -1.309 1.30045 -0.006982 1.45492 0.998897 1.26466 0 1.40604 0.227795 1.07614 -0.020944 1.46103 0.06284 0.83263 -0.14399 1.571 1.38248",
+    "0 0 0 0.0248 0.04536 -0.7854 -1.309 0.366605 0.010473 0.269258 0.111722 1.48459 0 1.45318 1.44532 1.44532 -0.204204 1.46103 1.44532 1.48459 -0.2618 1.47674 1.48459",
+    "0 0 0 0.0248 0.04536 -0.7854 -1.13447 0.514973 0.010473 0.128305 0.111722 0.510575 0 0.37704 0.117825 1.44532 -0.204204 1.46103 1.44532 1.48459 -0.2618 1.47674 1.48459",
+    "0 0 0 0.3384 0.25305 0.01569 -0.0262045 0.645885 0.010473 0.128305 0.111722 0.510575 0 0.37704 0.117825 1.571 -0.036652 1.52387 1.45318 1.40604 -0.068068 1.39033 1.571",
+    "0 0 0 0.6392 -0.147495 -0.7854 -1.309 0.637158 0.010473 0.128305 0.111722 0.510575 0 0.37704 0.117825 0.306345 -0.010472 0.400605 0.133535 0.21994 -0.068068 0.274925 0.01571",
+    "0 0 0 0.3384 0.25305 0.01569 -0.0262045 0.645885 0.010473 0.128305 0.111722 0.510575 0 0.37704 0.117825 0.306345 -0.010472 0.400605 0.133535 0.21994 -0.068068 0.274925 0.01571",
+    "0 0 0 0.6392 -0.147495 -0.7854 -1.309 0.637158 0.010473 0.128305 0.111722 0.510575 0 0.37704 0.117825 0.306345 -0.010472 0.400605 0.133535 1.1861 -0.2618 1.35891 1.48459",
+    "0 0 0 0.524 0.01569 -0.7854 -1.309 0.645885 -0.006982 0.128305 0.111722 0.510575 0 0.37704 0.117825 1.28036 -0.115192 1.52387 1.45318 0.432025 -0.068068 0.18852 0.149245",
+    "0 0 0 0.428 0.22338 -0.7854 -1.309 0.645885 -0.006982 0.128305 0.194636 1.39033 0 1.08399 0.573415 0.667675 -0.020944 0 0.06284 0.432025 -0.068068 0.18852 0.149245",
+    "0 0 0 0.5624 0.28272 -0.75573 -1.309 1.30045 -0.006982 1.45492 0.998897 0.39275 0 0.18852 0.227795 0.667675 -0.020944 0 0.06284 0.432025 -0.068068 0.18852 0.149245",
+]
+_ASL_QPOS = [[float(x) for x in row.split()] for row in _ASL_QPOS]
+
+register(
+    "myoHandPoseFixed-v0", PoseEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=_HAND_POSE_XML,
+        target_jnt_value=[
+            0, 0, 0, -0.0904, 0.0824475, -0.681555, -0.514888, 0,
+            -0.013964, -0.0458132, 0, 0.67553, -0.020944, 0.76979,
+            0.65982, 0, 0, 0, 0, 0.479155, -0.099484, 0.95831, 0,
+        ],
+        normalize_act=True,
+        pose_thd=0.7,
+        reset_type="init",
+        target_type="fixed",
+    ))
+
+for _k, _pose in enumerate(_ASL_QPOS):
+  register(
+      f"myoHandPose{_k}Fixed-v0", PoseEnv, max_episode_steps=100,
+      kwargs=dict(
+          model_path=_HAND_POSE_XML,
+          target_jnt_value=_pose,
+          normalize_act=True,
+          pose_thd=0.7,
+          reset_type="init",
+          target_type="fixed",
+      ))
+
+_asl = list(zip(*_ASL_QPOS))
+_HAND_POSE_RANGES = {
+    n: (min(_asl[i]), max(_asl[i])) for i, n in enumerate(_HAND_JNT_NAMES)}
+
+register(
+    "myoHandPoseRandom-v0", PoseEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=_HAND_POSE_XML,
+        target_jnt_range=_HAND_POSE_RANGES,
+        normalize_act=True,
+        pose_thd=0.7,
+        reset_type="random",
+    ))

@@ -1,0 +1,91 @@
+"""Env-contract sweep: every registered task ID.
+
+Mirrors the reference's integration contract
+(/root/reference/myosuite/tests/test_envs.py:33-129): make -> reset ->
+step -> obs/reward finite; reseed determinism; identical step results for
+identical seeds; batched == single.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myosuite_mjx_tpu import envs
+
+# full-sweep on the small models; hand spot-checked (compile cost)
+SWEEP = [i for i in envs.registry_ids() if "Hand" not in i]
+SWEEP += ["myoHandPose0Fixed-v0"]
+
+
+@pytest.mark.parametrize("env_id", SWEEP)
+def test_env_contract(env_id):
+  env = envs.make(env_id)
+  key = jax.random.PRNGKey(3)
+  st = env.reset(key)
+  assert st.obs.ndim == 1 and st.obs.size > 0
+  assert np.isfinite(np.asarray(st.obs)).all()
+
+  act = jax.random.uniform(key, (env.model.nu,), minval=-1.0, maxval=1.0)
+  st2 = jax.jit(env.step)(st, act)
+  assert np.isfinite(float(st2.reward))
+  assert np.isfinite(np.asarray(st2.obs)).all()
+  assert int(st2.steps) == 1
+  for k in ("rwd_dense", "rwd_sparse", "solved"):
+    assert k in st2.info
+
+  # reseed determinism
+  st_b = env.reset(jax.random.PRNGKey(3))
+  np.testing.assert_allclose(np.asarray(st.obs), np.asarray(st_b.obs))
+  st2_b = jax.jit(env.step)(st_b, act)
+  np.testing.assert_allclose(np.asarray(st2.obs), np.asarray(st2_b.obs))
+  np.testing.assert_allclose(float(st2.reward), float(st2_b.reward))
+
+  # different seed ⇒ different state for random tasks
+  if "Random" in env_id:
+    st_c = env.reset(jax.random.PRNGKey(4))
+    assert not np.allclose(np.asarray(st.obs), np.asarray(st_c.obs))
+
+
+def test_batched_matches_single():
+  env = envs.make("myoFingerPoseRandom-v0")
+  B = 4
+  batched = envs.BatchedEnv(env, B)
+  keys = jax.random.split(jax.random.PRNGKey(0), B)
+  bs = batched.reset(keys)
+  single = [env.reset(k) for k in keys]
+  for i in range(B):
+    np.testing.assert_allclose(
+        np.asarray(bs.obs[i]), np.asarray(single[i].obs), atol=1e-6)
+
+  acts = jax.random.uniform(jax.random.PRNGKey(1), (B, env.model.nu),
+                            minval=-1, maxval=1)
+  bs2 = batched.step(bs, acts)
+  for i in range(B):
+    s2 = env.autoreset_step(single[i], acts[i])
+    np.testing.assert_allclose(
+        np.asarray(bs2.obs[i]), np.asarray(s2.obs), atol=1e-5)
+
+
+def test_autoreset_on_horizon():
+  env = envs.make("myoFingerPoseFixed-v0", horizon=3)
+  st = env.reset(jax.random.PRNGKey(0))
+  step = jax.jit(env.autoreset_step)
+  act = jnp.zeros(env.model.nu)
+  seen = []
+  for t in range(1, 8):
+    st = step(st, act)
+    seen.append(int(st.steps))
+  # counter resets on hitting the horizon and never exceeds it
+  assert max(seen) <= 3
+  assert 0 in seen  # wrapped at least once
+  assert seen == [1, 2, 0, 1, 2, 0, 1]
+
+
+def test_variant_registration():
+  vid = envs.register_env_variant(
+      "myoFingerPoseFixed-v0", "myoFingerPoseFixed-thd-v0",
+      {"pose_thd": 0.1})
+  env = envs.make(vid)
+  assert env.pose_thd == 0.1
+  # base unchanged
+  assert envs.make("myoFingerPoseFixed-v0").pose_thd == 0.35
