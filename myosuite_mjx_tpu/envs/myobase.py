@@ -159,3 +159,89 @@ register(
         pose_thd=0.7,
         reset_type="random",
     ))
+
+# ---- Reach -----------------------------------------------------------------
+
+from myosuite_mjx_tpu.envs.reach import ReachEnv  # noqa: E402
+
+register(
+    "myoFingerReachFixed-v0", ReachEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/finger/myofinger_v0.xml"),
+        target_reach_range={"IFtip": ((0.2, 0.05, 0.20), (0.2, 0.05, 0.20))},
+        normalize_act=True,
+    ))
+
+register(
+    "myoFingerReachRandom-v0", ReachEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/finger/myofinger_v0.xml"),
+        target_reach_range={"IFtip": ((0.1, -0.1, 0.1), (0.27, 0.1, 0.3))},
+        normalize_act=True,
+    ))
+
+register(
+    "motorFingerReachFixed-v0", ReachEnv, max_episode_steps=200,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/finger/motorfinger_v0.xml"),
+        target_reach_range={"IFtip": ((0.2, 0.05, 0.20), (0.2, 0.05, 0.20))},
+        normalize_act=True,
+        frame_skip=5,
+    ))
+
+register(
+    "motorFingerReachRandom-v0", ReachEnv, max_episode_steps=200,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/finger/motorfinger_v0.xml"),
+        target_reach_range={"IFtip": ((0.1, -0.1, 0.1), (0.27, 0.1, 0.3))},
+        normalize_act=True,
+        frame_skip=5,
+    ))
+
+register(
+    "myoHandReachFixed-v0", ReachEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_pose.xml"),
+        target_reach_range={
+            "THtip": ((-0.165, -0.537, 1.495), (-0.165, -0.537, 1.495)),
+            "IFtip": ((-0.151, -0.547, 1.455), (-0.151, -0.547, 1.455)),
+            "MFtip": ((-0.146, -0.547, 1.447), (-0.146, -0.547, 1.447)),
+            "RFtip": ((-0.148, -0.543, 1.445), (-0.148, -0.543, 1.445)),
+            "LFtip": ((-0.148, -0.528, 1.434), (-0.148, -0.528, 1.434)),
+        },
+        normalize_act=True,
+        far_th=0.044,
+    ))
+
+register(
+    "myoHandReachRandom-v0", ReachEnv, max_episode_steps=100,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_pose.xml"),
+        target_reach_range={
+            "THtip": ((-0.185, -0.577, 1.455), (-0.125, -0.517, 1.535)),
+            "IFtip": ((-0.191, -0.567, 1.445), (-0.111, -0.527, 1.465)),
+            "MFtip": ((-0.186, -0.567, 1.437), (-0.106, -0.527, 1.457)),
+            "RFtip": ((-0.188, -0.563, 1.435), (-0.108, -0.523, 1.455)),
+            "LFtip": ((-0.188, -0.548, 1.424), (-0.108, -0.508, 1.444)),
+        },
+        normalize_act=True,
+        far_th=0.034,
+    ))
+
+# ---- Object hold -----------------------------------------------------------
+
+from myosuite_mjx_tpu.envs.obj_hold import ObjHoldEnv, ObjHoldRandomEnv  # noqa: E402
+
+register(
+    "myoHandObjHoldFixed-v0", ObjHoldEnv, max_episode_steps=75,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_hold.xml"),
+        normalize_act=True,
+    ))
+
+register(
+    "myoHandObjHoldRandom-v0", ObjHoldRandomEnv, max_episode_steps=75,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_hold.xml"),
+        normalize_act=True,
+    ))
