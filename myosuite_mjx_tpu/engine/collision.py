@@ -56,6 +56,8 @@ _SUPPORTED = {
     (GeomType.SPHERE, GeomType.ELLIPSOID),
     (GeomType.SPHERE, GeomType.BOX),
     (GeomType.CAPSULE, GeomType.CAPSULE),
+    (GeomType.SPHERE, GeomType.CYLINDER),
+    (GeomType.CAPSULE, GeomType.CYLINDER),
     (GeomType.CAPSULE, GeomType.ELLIPSOID),
     (GeomType.CAPSULE, GeomType.BOX),
 }
@@ -397,6 +399,84 @@ def _capsule_ellipsoid(gpos1, gmat1, r1, h1, gpos2, gmat2, radii):
   return _sphere_ellipsoid(p, r1, gpos2, gmat2, radii)
 
 
+def _cylinder_surface_point(p: jax.Array, r, half):
+  """Closest surface point + outward normal + signed dist for local point p
+  vs a z-axis cylinder (radius r, half-height half). Branchless."""
+  rd = jnp.linalg.norm(p[:2])
+  rd_safe = jnp.maximum(rd, _MINVAL)
+  radial_dir = jnp.concatenate([p[:2] / rd_safe, jnp.zeros(1, p.dtype)])
+  zsign = jnp.where(p[2] >= 0, 1.0, -1.0)
+
+  side_out = rd > r
+  cap_out = jnp.abs(p[2]) > half
+
+  # outside corner/side/cap closest point
+  clamp_xy = jnp.where(side_out, r, rd)
+  clamp_z = jnp.where(cap_out, zsign * half, p[2])
+  surf_out = jnp.concatenate(
+      [radial_dir[:2] * clamp_xy, clamp_z[None]])
+  d_out = p - surf_out
+  dn_out = jnp.linalg.norm(d_out)
+  n_out = d_out / jnp.maximum(dn_out, _MINVAL)
+
+  # inside: nearest face (side vs cap)
+  side_gap = r - rd
+  cap_gap = half - jnp.abs(p[2])
+  use_side = side_gap < cap_gap
+  surf_in = jnp.where(
+      use_side,
+      jnp.concatenate([radial_dir[:2] * r, p[2][None]]),
+      jnp.concatenate([p[:2], (zsign * half)[None]]))
+  n_in = jnp.where(use_side, radial_dir,
+                   jnp.concatenate([jnp.zeros(2, p.dtype), zsign[None]]))
+  d_in = -jnp.minimum(side_gap, cap_gap)
+
+  outside = side_out | cap_out
+  surf = jnp.where(outside, surf_out, surf_in)
+  n = jnp.where(outside, n_out, n_in)
+  dist = jnp.where(outside, dn_out, d_in)
+  return surf, n, dist
+
+
+def _sphere_cylinder(c1, r1, gpos, gmat, r2, h2):
+  local = gmat.T @ (c1 - gpos)
+  surf_l, n_l, dist_c = _cylinder_surface_point(local, r2, h2)
+  dist = dist_c - r1
+  n_cyl_out = gmat @ n_l
+  n = -n_cyl_out  # from sphere (g1) toward cylinder (g2)
+  surf_cyl = gpos + gmat @ surf_l
+  surf_sph = c1 + n * r1
+  pos = 0.5 * (surf_cyl + surf_sph)
+  return [(dist, pos, n)]
+
+
+def _capsule_cylinder(gpos1, gmat1, r1, h1, gpos2, gmat2, r2, h2):
+  """Golden-section over the capsule axis of the point-cylinder distance."""
+  a, b = _capsule_ends(gpos1, gmat1, h1)
+  a_l = gmat2.T @ (a - gpos2)
+  b_l = gmat2.T @ (b - gpos2)
+
+  def f(t):
+    _, _, dist = _cylinder_surface_point(a_l + t * (b_l - a_l), r2, h2)
+    return dist
+
+  gr = 0.6180339887498949
+  lo = jnp.zeros((), a_l.dtype)
+  hi = jnp.ones((), a_l.dtype)
+
+  def body(_, carry):
+    lo, hi = carry
+    m1 = hi - gr * (hi - lo)
+    m2 = lo + gr * (hi - lo)
+    left = f(m1) < f(m2)
+    return jnp.where(left, lo, m1), jnp.where(left, m2, hi)
+
+  lo, hi = jax.lax.fori_loop(0, 36, body, (lo, hi))
+  t = 0.5 * (lo + hi)
+  p = a + t * (b - a)
+  return _sphere_cylinder(p, r1, gpos2, gmat2, r2, h2)
+
+
 def _sphere_box(c1, r1, gpos, gmat, size):
   local = gmat.T @ (c1 - gpos)
   clamped = jnp.clip(local, -size, size)
@@ -498,6 +578,12 @@ def _narrow_fn(t1: int, t2: int):
               p1, s1[0], p2, m2, s2),
       (T.SPHERE, T.BOX):
           lambda p1, m1, s1, p2, m2, s2: _sphere_box(p1, s1[0], p2, m2, s2),
+      (T.SPHERE, T.CYLINDER):
+          lambda p1, m1, s1, p2, m2, s2: _sphere_cylinder(
+              p1, s1[0], p2, m2, s2[0], s2[1]),
+      (T.CAPSULE, T.CYLINDER):
+          lambda p1, m1, s1, p2, m2, s2: _capsule_cylinder(
+              p1, m1, s1[0], s1[1], p2, m2, s2[0], s2[1]),
       (T.CAPSULE, T.CAPSULE):
           lambda p1, m1, s1, p2, m2, s2: _capsule_capsule(
               p1, m1, s1[0], s1[1], p2, m2, s2[0], s2[1]),
@@ -529,7 +615,8 @@ class _CollisionSpec:
   includemargin: np.ndarray  # [C]
   invweight: np.ndarray      # [C]
   inv_pyr: np.ndarray        # [C]
-  condim: int
+  condim: int                # max condim across slots
+  condim_slot: np.ndarray    # [C] per-slot condim
 
 
 _spec_cache: dict[int, "_CollisionSpec | None"] = {}
@@ -549,13 +636,14 @@ def _collision_spec(m: Model) -> "_CollisionSpec | None":
         (int(m.geom_type[p.g1]), int(m.geom_type[p.g2])), []).append(p)
 
   condims = {p.condim for p in pairs}
-  if condims - {1, 3}:
+  if condims - {1, 3, 4, 6}:
     raise NotImplementedError(f"contact condim {condims}")
   condim = max(condims)
 
   groups = []
   b1, b2, g1s, g2s, fric, sr, si, im, iw, iwp = \
       [], [], [], [], [], [], [], [], [], []
+  cd = []
   for tkey in sorted(by_type):
     plist = by_type[tkey]
     groups.append((tkey, dict(
@@ -567,6 +655,7 @@ def _collision_spec(m: Model) -> "_CollisionSpec | None":
     # order is [point0 of all pairs, point1 of all pairs, ...]
     for _ in range(npts):
       for p in plist:
+        cd.append(p.condim)
         bb1 = int(m.geom_bodyid[p.g1])
         bb2 = int(m.geom_bodyid[p.g2])
         b1.append(bb1)
@@ -587,7 +676,8 @@ def _collision_spec(m: Model) -> "_CollisionSpec | None":
       geom1=np.asarray(g1s, np.int32), geom2=np.asarray(g2s, np.int32),
       friction=np.asarray(fric), solref=np.asarray(sr),
       solimp=np.asarray(si), includemargin=np.asarray(im),
-      invweight=np.asarray(iw), inv_pyr=np.asarray(iwp), condim=condim)
+      invweight=np.asarray(iw), inv_pyr=np.asarray(iwp), condim=condim,
+      condim_slot=np.asarray(cd, np.int32))
   _spec_cache[key] = spec
   return spec
 
@@ -658,26 +748,43 @@ def contacts(m: Model, d: Data, max_contacts: int | None = None):
             - smooth.point_jac_dir(m, d.cdof, pos_k, b1, dirs))
 
   jn = dir_rows(frame[:, 0])                     # [k, nv]
+  condim_k = jnp.asarray(spec.condim_slot)[idx]  # [k]
   if spec.condim == 1:
     J = jn[:, None, :]
     iw_rows = iw[:, None]
     rows_per = 1
+    pos_rows = viol[:, None]
   else:
-    jt1 = dir_rows(frame[:, 1])
-    jt2 = dir_rows(frame[:, 2])
-    mu1 = fric[:, 0:1]
-    mu2 = fric[:, 1:2]
-    J = jnp.stack([
-        jn + mu1 * jt1, jn - mu1 * jt1,
-        jn + mu2 * jt2, jn - mu2 * jt2,
-    ], axis=1)                                   # [k, 4, nv]
-    iw_rows = jnp.broadcast_to(iwp[:, None], (k, 4))
-    rows_per = 4
+    # pyramid rows for each friction dim up to max condim; slots with a
+    # smaller condim mask their extra rows inactive (pos > 0 => D = 0)
+    def rot_rows(dirs):
+      return (smooth.rot_jac_dir(m, d.cdof, b2, dirs)
+              - smooth.rot_jac_dir(m, d.cdof, b1, dirs))
+
+    fdims = []  # (friction jacobian [k, nv], mu [k])
+    fdims.append((dir_rows(frame[:, 1]), fric[:, 0]))
+    fdims.append((dir_rows(frame[:, 2]), fric[:, 1]))
+    if spec.condim >= 4:
+      fdims.append((rot_rows(frame[:, 0]), fric[:, 2]))   # torsional
+    if spec.condim >= 6:
+      fdims.append((rot_rows(frame[:, 1]), fric[:, 3]))   # rolling
+      fdims.append((rot_rows(frame[:, 2]), fric[:, 4]))
+    rows = []
+    masks = []
+    for i, (jf, mu) in enumerate(fdims):
+      for s_ in (1.0, -1.0):
+        rows.append(jn + s_ * mu[:, None] * jf)
+        masks.append(condim_k > i + 1)
+    J = jnp.stack(rows, axis=1)                  # [k, 2*(cmax-1), nv]
+    rows_per = len(rows)
+    rowmask = jnp.stack(masks, axis=1)           # [k, rows_per]
+    iw_rows = jnp.broadcast_to(iwp[:, None], (k, rows_per))
+    pos_rows = jnp.where(rowmask, viol[:, None], 1.0)
 
   R = k * rows_per
   blocks = dict(
       J=J.reshape(R, m.nv),
-      pos=jnp.broadcast_to(viol[:, None], (k, rows_per)).reshape(R),
+      pos=pos_rows.reshape(R),
       invweight=iw_rows.reshape(R),
       solref=jnp.broadcast_to(solref[:, None, :],
                               (k, rows_per, 2)).reshape(R, 2),

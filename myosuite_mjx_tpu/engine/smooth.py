@@ -370,6 +370,14 @@ def point_jac_dir(m: Model, cdof: jax.Array, points: jax.Array,
   return proj * mask
 
 
+def rot_jac_dir(m: Model, cdof: jax.Array, bodyids,
+                dirs: jax.Array) -> jax.Array:
+  """Rotational analogue of point_jac_dir: rows (jacr(b_i)^T d_i)."""
+  mask = jnp.asarray(body_dof_mask(m), cdof.dtype)[bodyids]      # [S, nv]
+  proj = jnp.einsum("nk,sk->sn", cdof[:, :3], dirs)
+  return proj * mask
+
+
 def point_jacobian(m: Model, cdof: jax.Array, point: jax.Array,
                    bodyid: int) -> tuple[jax.Array, jax.Array]:
   """(jacp, jacr): translational/rotational Jacobian of a world point on a

@@ -245,3 +245,42 @@ register(
         model_path=asset("envs/myo/assets/hand/myohand_hold.xml"),
         normalize_act=True,
     ))
+
+# ---- Key turn / Pen twirl --------------------------------------------------
+
+import numpy as _np  # noqa: E402
+from myosuite_mjx_tpu.envs.key_turn import KeyTurnEnv  # noqa: E402
+from myosuite_mjx_tpu.envs.pen import (  # noqa: E402
+    PenTwirlFixedEnv, PenTwirlRandomEnv)
+
+register(
+    "myoHandKeyTurnFixed-v0", KeyTurnEnv, max_episode_steps=200,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_keyturn.xml"),
+        normalize_act=True,
+    ))
+
+register(
+    "myoHandKeyTurnRandom-v0", KeyTurnEnv, max_episode_steps=200,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_keyturn.xml"),
+        normalize_act=True,
+        key_init_range=(-_np.pi / 2, _np.pi / 2),
+        goal_th=2 * _np.pi,
+    ))
+
+register(
+    "myoHandPenTwirlFixed-v0", PenTwirlFixedEnv, max_episode_steps=50,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_pen.xml"),
+        normalize_act=True,
+        frame_skip=5,
+    ))
+
+register(
+    "myoHandPenTwirlRandom-v0", PenTwirlRandomEnv, max_episode_steps=50,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_pen.xml"),
+        normalize_act=True,
+        frame_skip=5,
+    ))
