@@ -57,8 +57,18 @@ class MyoEnv:
                normalize_act: bool = True,
                horizon: int = 100,
                dtype=jnp.float32,
+               muscle_condition: str = "",
+               fatigue_reset_random: bool = False,
                **task_kwargs):
     self.model = model_mod.load_model(model_path, dtype=np.float64)
+    self.muscle_condition = muscle_condition
+    self.fatigue_reset_random = fatigue_reset_random
+    if muscle_condition == "sarcopenia":
+      # weaker muscles: halve max force (base_v0.py:64-68)
+      import dataclasses as _dc
+      gp = np.array(self.model.actuator_gainprm)
+      gp[:, 2] = 0.5 * gp[:, 2]
+      self.model = _dc.replace(self.model, actuator_gainprm=gp)
     self.dtype = dtype
     self.frame_skip = frame_skip
     self.horizon = horizon
@@ -84,6 +94,15 @@ class MyoEnv:
     self.init_qvel = np.zeros(m.nv)
     self._muscle_mask = np.asarray(
         m.actuator_dyntype == DynType.MUSCLE)
+    if muscle_condition == "reafferentation":
+      # EIP -> EPL tendon-transfer rerouting (base_v0.py:78-80, 105-109)
+      self._epl = m.name2id("actuator", "EPL")
+      self._eip = m.name2id("actuator", "EIP")
+    elif muscle_condition == "fatigue":
+      mus = np.where(self._muscle_mask)[0]
+      self._fatigue_tauact = m.actuator_dynprm[mus, 0]
+      self._fatigue_taudeact = m.actuator_dynprm[mus, 1]
+      self._fatigue_idx = mus
     self._setup(**task_kwargs)
 
   # ---- template methods -------------------------------------------------
@@ -150,23 +169,47 @@ class MyoEnv:
         aux=aux)
 
   def reset(self, rng: jax.Array) -> EnvState:
-    rng, k_aux, k_state = jax.random.split(rng, 3)
+    rng, k_aux, k_state, k_fat = jax.random.split(rng, 4)
     aux = self.reset_aux(k_aux)
+    if self.muscle_condition == "fatigue":
+      from myosuite_mjx_tpu.envs import fatigue as fat
+      n = len(self._fatigue_idx)
+      aux["fatigue"] = (fat.random_state(k_fat, n, self.dtype)
+                        if self.fatigue_reset_random
+                        else fat.init_state(n, self.dtype))
     qpos, qvel = self.reset_qpos_qvel(k_state, aux)
     d = data_mod.make_data(self.model, dtype=self.dtype)
     d = d.replace(qpos=qpos.astype(self.dtype), qvel=qvel.astype(self.dtype))
     d = forward_mod.forward(self.model, d)
     return self._mk_state(d, rng, aux, 0)
 
+  def _apply_muscle_condition(self, ctrl: jax.Array, aux: dict):
+    """Per-step ctrl transform for fatigue/reafferentation conditions."""
+    if self.muscle_condition == "fatigue":
+      from myosuite_mjx_tpu.envs import fatigue as fat
+      idx = self._fatigue_idx
+      eff, new_state = fat.compute_act(
+          aux["fatigue"], ctrl[idx],
+          jnp.asarray(self._fatigue_tauact, ctrl.dtype),
+          jnp.asarray(self._fatigue_taudeact, ctrl.dtype),
+          self.dt)
+      return ctrl.at[idx].set(eff), {**aux, "fatigue": new_state}
+    if self.muscle_condition == "reafferentation":
+      ctrl = ctrl.at[self._epl].set(ctrl[self._eip])
+      ctrl = ctrl.at[self._eip].set(0.0)
+      return ctrl, aux
+    return ctrl, aux
+
   def step(self, state: EnvState, action: jax.Array) -> EnvState:
     ctrl = self._action_to_ctrl(action.astype(self.dtype))
+    ctrl, aux = self._apply_muscle_condition(ctrl, state.aux)
     d = state.data.replace(ctrl=ctrl)
 
     def substep(d, _):
       return forward_mod.step(self.model, d), ()
 
     d, _ = jax.lax.scan(substep, d, (), length=self.frame_skip)
-    return self._mk_state(d, state.rng, state.aux, state.steps + 1)
+    return self._mk_state(d, state.rng, aux, state.steps + 1)
 
   # ---- batched API -------------------------------------------------------
 

@@ -284,3 +284,18 @@ register(
         normalize_act=True,
         frame_skip=5,
     ))
+
+# ---- muscle-condition variants (reference scheme, myobase/__init__.py:16-48)
+
+from myosuite_mjx_tpu.envs.registry import (  # noqa: E402
+    register_env_variant, registry_ids)
+
+for _id in list(registry_ids()):
+  if _id.startswith("myo"):
+    register_env_variant(
+        _id, "myoSarc" + _id[3:], {"muscle_condition": "sarcopenia"})
+    register_env_variant(
+        _id, "myoFati" + _id[3:], {"muscle_condition": "fatigue"})
+  if _id.startswith("myoHand"):
+    register_env_variant(
+        _id, "myoReaf" + _id[3:], {"muscle_condition": "reafferentation"})
