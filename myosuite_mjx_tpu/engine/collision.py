@@ -60,6 +60,10 @@ _SUPPORTED = {
     (GeomType.CAPSULE, GeomType.CYLINDER),
     (GeomType.CAPSULE, GeomType.ELLIPSOID),
     (GeomType.CAPSULE, GeomType.BOX),
+    (GeomType.PLANE, GeomType.MESH),
+    (GeomType.SPHERE, GeomType.MESH),
+    (GeomType.CAPSULE, GeomType.MESH),
+    (GeomType.ELLIPSOID, GeomType.MESH),
 }
 
 
@@ -171,6 +175,8 @@ def _npoints(m: Model, pair: CandidatePair) -> int:
     return 4
   if t1 == T.CAPSULE and t2 == T.BOX:
     return 3
+  if t1 == T.PLANE and t2 == T.MESH:
+    return 4
   return 1
 
 
@@ -552,6 +558,151 @@ def narrowphase(m: Model, d: Data, pair: CandidatePair):
   raise NotImplementedError(f"collision pair types ({t1}, {t2})")
 
 
+# ---------------------------------------------------------------------------
+# convex mesh hulls: exact point/segment queries over hull triangles
+# ---------------------------------------------------------------------------
+
+
+def _closest_on_tri(p, a, b, c):
+  """Closest point on triangle abc to p (Ericson, branchless). Batched over
+  leading dims of a/b/c."""
+  ab = b - a
+  ac = c - a
+  ap = p - a
+  d1 = jnp.sum(ab * ap, -1)
+  d2 = jnp.sum(ac * ap, -1)
+  bp = p - b
+  d3 = jnp.sum(ab * bp, -1)
+  d4 = jnp.sum(ac * bp, -1)
+  cp = p - c
+  d5 = jnp.sum(ab * cp, -1)
+  d6 = jnp.sum(ac * cp, -1)
+
+  va = d3 * d6 - d5 * d4
+  vb = d5 * d2 - d1 * d6
+  vc = d1 * d4 - d3 * d2
+  denom = jnp.maximum(va + vb + vc, _MINVAL)
+  v = (vb / denom)[..., None]
+  w = (vc / denom)[..., None]
+  face_pt = a + v * ab + w * ac
+
+  # edge / vertex regions
+  t_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, _MINVAL), 0, 1)[..., None]
+  t_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, _MINVAL), 0, 1)[..., None]
+  t_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6),
+                                          _MINVAL), 0, 1)[..., None]
+  pt = face_pt
+  in_vert_a = (d1 <= 0) & (d2 <= 0)
+  in_vert_b = (d3 >= 0) & (d4 <= d3)
+  in_vert_c = (d6 >= 0) & (d5 <= d6)
+  in_edge_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+  in_edge_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+  in_edge_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+  pt = jnp.where(in_edge_bc[..., None], b + t_bc * (c - b), pt)
+  pt = jnp.where(in_edge_ac[..., None], a + t_ac * ac, pt)
+  pt = jnp.where(in_edge_ab[..., None], a + t_ab * ab, pt)
+  pt = jnp.where(in_vert_c[..., None], c, pt)
+  pt = jnp.where(in_vert_b[..., None], b, pt)
+  pt = jnp.where(in_vert_a[..., None], a, pt)
+  return pt
+
+
+def _point_hull(p, tris, eqs):
+  """Closest surface point / outward normal / signed dist for local point p
+  vs a convex hull given oriented triangles [F,3,3] and face equations
+  [F,4] (outward n, offset: n.x + off <= 0 inside)."""
+  cps = _closest_on_tri(p[None, :], tris[:, 0], tris[:, 1], tris[:, 2])
+  d2 = jnp.sum((cps - p[None, :]) ** 2, -1)
+  k = jnp.argmin(d2)
+  cp = cps[k]
+
+  plane_d = eqs[:, :3] @ p + eqs[:, 3]
+  inside = jnp.all(plane_d <= 0)
+  # deepest (least negative) face when inside
+  kf = jnp.argmax(plane_d)
+  n_in = eqs[kf, :3]
+  cp_in = p - plane_d[kf] * n_in
+
+  out_vec = p - cp
+  n_out = out_vec / jnp.maximum(jnp.linalg.norm(out_vec), _MINVAL)
+  surf = jnp.where(inside, cp_in, cp)
+  n = jnp.where(inside, n_in, n_out)
+  dist = jnp.where(inside, plane_d[kf], jnp.sqrt(jnp.maximum(
+      jnp.min(d2), 0.0)))
+  return surf, n, dist
+
+
+def _sphere_hull(c1, r1, gpos, gmat, tris, eqs):
+  local = gmat.T @ (c1 - gpos)
+  surf_l, n_l, dist_c = _point_hull(local, tris, eqs)
+  dist = dist_c - r1
+  n_hull_out = gmat @ n_l
+  n = -n_hull_out                      # from sphere (g1) toward mesh (g2)
+  surf_hull = gpos + gmat @ surf_l
+  surf_sph = c1 + n * r1
+  pos = 0.5 * (surf_hull + surf_sph)
+  return [(dist, pos, n)]
+
+
+def _capsule_hull(gpos1, gmat1, r1, h1, gpos2, gmat2, tris, eqs):
+  a, b = _capsule_ends(gpos1, gmat1, h1)
+  a_l = gmat2.T @ (a - gpos2)
+  b_l = gmat2.T @ (b - gpos2)
+
+  def f(t):
+    _, _, dist = _point_hull(a_l + t * (b_l - a_l), tris, eqs)
+    return dist
+
+  gr = 0.6180339887498949
+  lo = jnp.zeros((), a_l.dtype)
+  hi = jnp.ones((), a_l.dtype)
+
+  def body(_, carry):
+    lo, hi = carry
+    m1 = hi - gr * (hi - lo)
+    m2 = lo + gr * (hi - lo)
+    left = f(m1) < f(m2)
+    return jnp.where(left, lo, m1), jnp.where(left, m2, hi)
+
+  lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+  t = 0.5 * (lo + hi)
+  p = a + t * (b - a)
+  return _sphere_hull(p, r1, gpos2, gmat2, tris, eqs)
+
+
+def _ellipsoid_hull(gpos1, gmat1, radii, gpos2, gmat2, tris, eqs):
+  """Approximate: hull point nearest in ellipsoid-scaled space, then exact
+  point-to-ellipsoid distance from that hull point."""
+  # transform hull into the ellipsoid's scaled frame is expensive per call;
+  # instead find hull point closest to the ellipsoid center, then refine
+  # with the exact ellipsoid distance (good for the small Myo nail geoms).
+  center_l = gmat2.T @ (gpos1 - gpos2)
+  surf_l, _, _ = _point_hull(center_l, tris, eqs)
+  hull_pt = gpos2 + gmat2 @ surf_l
+  # exact closest point on the ellipsoid to hull_pt
+  p_e = gmat1.T @ (hull_pt - gpos1)
+  x, n_l, dist = _ellipsoid_surface_point(p_e, radii)
+  n_ell_out = gmat1 @ n_l
+  n = n_ell_out                        # from ellipsoid (g1) toward mesh (g2)
+  surf_ell = gpos1 + gmat1 @ x
+  pos = 0.5 * (surf_ell + hull_pt)
+  return [(dist, pos, n)]
+
+
+def _plane_hull(ppos, pmat, gpos, gmat, verts):
+  """Plane vs hull: the 4 lowest vertices as contact slots."""
+  n = pmat[:, 2]
+  world = gpos[None, :] + verts @ gmat.T
+  heights = (world - ppos[None, :]) @ n
+  neg_h, idx = jax.lax.top_k(-heights, 4)
+  out = []
+  for i in range(4):
+    dist = -neg_h[i]
+    w = world[idx[i]]
+    out.append((dist, w - 0.5 * dist * n, n))
+  return out
+
+
 def _narrow_fn(t1: int, t2: int):
   """Uniform-signature narrowphase: (p1, m1, s1, p2, m2, s2) -> points."""
   T = GeomType
@@ -632,8 +783,10 @@ def _collision_spec(m: Model) -> "_CollisionSpec | None":
     return None
   by_type: dict[tuple, list[CandidatePair]] = {}
   for p in pairs:
-    by_type.setdefault(
-        (int(m.geom_type[p.g1]), int(m.geom_type[p.g2])), []).append(p)
+    t1 = int(m.geom_type[p.g1])
+    t2 = int(m.geom_type[p.g2])
+    did = int(m.geom_dataid[p.g2]) if t2 == GeomType.MESH else -1
+    by_type.setdefault((t1, t2, did), []).append(p)
 
   condims = {p.condim for p in pairs}
   if condims - {1, 3, 4, 6}:
@@ -646,9 +799,10 @@ def _collision_spec(m: Model) -> "_CollisionSpec | None":
   cd = []
   for tkey in sorted(by_type):
     plist = by_type[tkey]
-    groups.append((tkey, dict(
+    groups.append((tkey[:2], dict(
         g1=np.asarray([p.g1 for p in plist], np.int32),
-        g2=np.asarray([p.g2 for p in plist], np.int32))))
+        g2=np.asarray([p.g2 for p in plist], np.int32),
+        dataid=tkey[2])))
     npts = _npoints(m, plist[0])
     # slots are emitted point-major then pair-major under vmap: the vmapped
     # narrowphase returns, per point-index, arrays over pairs — so slot
@@ -682,6 +836,49 @@ def _collision_spec(m: Model) -> "_CollisionSpec | None":
   return spec
 
 
+_hull_geo_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _hull_geometry(m: Model, dataid: int):
+  """Outward-oriented hull triangles [F,3,3] + face equations [F,4]."""
+  key = (id(m), dataid)
+  if key in _hull_geo_cache:
+    return _hull_geo_cache[key]
+  tris = np.array(m.mesh_hull_tris[dataid])
+  verts = np.array(m.mesh_hull_verts[dataid])
+  centroid = verts.mean(axis=0)
+  a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+  n = np.cross(b - a, c - a)
+  n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-15)
+  flip = np.sum(n * (a - centroid), axis=-1) < 0
+  n[flip] = -n[flip]
+  tris[flip] = tris[flip][:, ::-1]
+  eqs = np.concatenate([n, -np.sum(n * a, axis=-1, keepdims=True)], axis=-1)
+  _hull_geo_cache[key] = (tris, eqs)
+  return tris, eqs
+
+
+def _mesh_narrow_fn(m: Model, t1: int, dataid: int, dtype):
+  """Narrowphase vs a specific mesh hull (closed-over constants)."""
+  tris_np, eqs_np = _hull_geometry(m, dataid)
+  tris = jnp.asarray(tris_np, dtype)
+  eqs = jnp.asarray(eqs_np, dtype)
+  verts = jnp.asarray(np.array(m.mesh_hull_verts[dataid]), dtype)
+  T = GeomType
+  if t1 == T.PLANE:
+    return lambda p1, m1, s1, p2, m2, s2: _plane_hull(p1, m1, p2, m2, verts)
+  if t1 == T.SPHERE:
+    return lambda p1, m1, s1, p2, m2, s2: _sphere_hull(
+        p1, s1[0], p2, m2, tris, eqs)
+  if t1 == T.CAPSULE:
+    return lambda p1, m1, s1, p2, m2, s2: _capsule_hull(
+        p1, m1, s1[0], s1[1], p2, m2, tris, eqs)
+  if t1 == T.ELLIPSOID:
+    return lambda p1, m1, s1, p2, m2, s2: _ellipsoid_hull(
+        p1, m1, s1, p2, m2, tris, eqs)
+  raise NotImplementedError(f"mesh collision vs type {t1}")
+
+
 def narrowphase_all(m: Model, d: Data, spec: "_CollisionSpec"):
   """All candidate contact points, vectorized by type group.
 
@@ -690,7 +887,10 @@ def narrowphase_all(m: Model, d: Data, spec: "_CollisionSpec"):
   dtype = d.qpos.dtype
   dists, poss, ns = [], [], []
   for (t1, t2), g in spec.groups:
-    fn = _narrow_fn(t1, t2)
+    if t2 == GeomType.MESH:
+      fn = _mesh_narrow_fn(m, t1, g["dataid"], dtype)
+    else:
+      fn = _narrow_fn(t1, t2)
     p1 = d.geom_xpos[g["g1"]]
     m1 = d.geom_xmat[g["g1"]]
     s1 = jnp.asarray(m.geom_size[g["g1"]], dtype)

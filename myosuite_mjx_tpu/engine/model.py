@@ -310,6 +310,11 @@ class Model:
   key_qvel: np.ndarray           # (nkey, nv)
   key_ctrl: np.ndarray           # (nkey, nu)
 
+  # meshes (collision hulls precomputed at convert time)
+  geom_dataid: np.ndarray        # (ngeom,) int mesh id or -1
+  mesh_hull_tris: dict           # mesh id -> (F, 3, 3) hull triangles
+  mesh_hull_verts: dict          # mesh id -> (V, 3) hull vertices
+
   # name maps (host-only metadata)
   names: dict[str, dict[str, int]]
 
@@ -328,6 +333,40 @@ class Model:
       if i == idx:
         return name
     raise KeyError(f"no {kind} with id {idx}")
+
+
+_hull_cache: dict[int, tuple[dict, dict]] = {}
+
+
+def _mesh_hulls(mj: mujoco.MjModel, dtype) -> tuple[dict, dict]:
+  """Convex hull triangles + vertices for every mesh used by a collidable
+  geom. MuJoCo itself collides the convex hull of a mesh; we precompute the
+  hull with scipy at convert time (host-side)."""
+  key = id(mj)
+  if key in _hull_cache:
+    return _hull_cache[key]
+  tris: dict[int, np.ndarray] = {}
+  verts: dict[int, np.ndarray] = {}
+  needed = set()
+  for g in range(mj.ngeom):
+    if (int(mj.geom_type[g]) == int(mujoco.mjtGeom.mjGEOM_MESH)
+        and (mj.geom_contype[g] or mj.geom_conaffinity[g])):
+      needed.add(int(mj.geom_dataid[g]))
+  if needed:
+    from scipy.spatial import ConvexHull
+    for mid in needed:
+      va, vn = int(mj.mesh_vertadr[mid]), int(mj.mesh_vertnum[mid])
+      v = np.asarray(mj.mesh_vert[va:va + vn], dtype=dtype)
+      try:
+        hull = ConvexHull(v)
+        hv = v[hull.vertices]
+        tris[mid] = v[hull.simplices]      # (F, 3, 3)
+      except Exception:
+        hv = v
+        tris[mid] = np.zeros((0, 3, 3), dtype)
+      verts[mid] = hv
+  _hull_cache[key] = (tris, verts)
+  return tris, verts
 
 
 def _name_map(mj: mujoco.MjModel) -> dict[str, dict[str, int]]:
@@ -499,6 +538,9 @@ def from_mj(mj: mujoco.MjModel, dtype=np.float64) -> Model:
       sensor_objid=i(mj.sensor_objid),
       sensor_adr=i(mj.sensor_adr),
       sensor_dim=i(mj.sensor_dim),
+      geom_dataid=i(mj.geom_dataid),
+      mesh_hull_tris=_mesh_hulls(mj, dtype)[0],
+      mesh_hull_verts=_mesh_hulls(mj, dtype)[1],
       qpos0=f(mj.qpos0),
       qpos_spring=f(mj.qpos_spring),
       key_qpos=f(mj.key_qpos) if mj.nkey else np.zeros((0, mj.nq), dtype),
