@@ -181,7 +181,13 @@ class MyoEnv:
     d = data_mod.make_data(self.model, dtype=self.dtype)
     d = d.replace(qpos=qpos.astype(self.dtype), qvel=qvel.astype(self.dtype))
     d = forward_mod.forward(self.model, d)
+    aux = self.post_reset_aux(d, aux, k_aux)
     return self._mk_state(d, rng, aux, 0)
+
+  def post_reset_aux(self, data: Data, aux: dict, rng: jax.Array) -> dict:
+    """Task state that depends on the freshly-reset physics (e.g. targets
+    relative to a body's pose). Default: unchanged."""
+    return aux
 
   def _apply_muscle_condition(self, ctrl: jax.Array, aux: dict):
     """Per-step ctrl transform for fatigue/reafferentation conditions."""

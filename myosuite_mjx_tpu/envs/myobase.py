@@ -299,3 +299,25 @@ for _id in list(registry_ids()):
   if _id.startswith("myoHand"):
     register_env_variant(
         _id, "myoReaf" + _id[3:], {"muscle_condition": "reafferentation"})
+
+# ---- Leg stand/reach -------------------------------------------------------
+
+from myosuite_mjx_tpu.envs.walk import LegReachEnv  # noqa: E402
+
+register(
+    "myoLegStandRandom-v0", LegReachEnv, max_episode_steps=150,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/leg/myolegs.xml"),
+        joint_random_range=(-0.2, 0.2),
+        target_reach_range={
+            "pelvis": ((-0.05, -0.05, 0), (0.05, 0.05, 0)),
+        },
+        normalize_act=True,
+        far_th=0.44,
+    ))
+
+for _id in ["myoLegStandRandom-v0"]:
+  register_env_variant(_id, "myoSarc" + _id[3:],
+                       {"muscle_condition": "sarcopenia"})
+  register_env_variant(_id, "myoFati" + _id[3:],
+                       {"muscle_condition": "fatigue"})
