@@ -60,6 +60,8 @@ _SUPPORTED = {
     (GeomType.CAPSULE, GeomType.CYLINDER),
     (GeomType.CAPSULE, GeomType.ELLIPSOID),
     (GeomType.CAPSULE, GeomType.BOX),
+    (GeomType.HFIELD, GeomType.SPHERE),
+    (GeomType.HFIELD, GeomType.CAPSULE),
     (GeomType.PLANE, GeomType.MESH),
     (GeomType.SPHERE, GeomType.MESH),
     (GeomType.CAPSULE, GeomType.MESH),
@@ -177,6 +179,8 @@ def _npoints(m: Model, pair: CandidatePair) -> int:
     return 3
   if t1 == T.PLANE and t2 == T.MESH:
     return 4
+  if t1 == T.HFIELD and t2 == T.CAPSULE:
+    return 3
   return 1
 
 
@@ -703,6 +707,73 @@ def _plane_hull(ppos, pmat, gpos, gmat, verts):
   return out
 
 
+def _hfield_height_normal(xy, data, sx, sy, sz):
+  """Bilinear height + outward normal of an hfield at local (x, y)."""
+  nrow, ncol = data.shape
+  gx = (xy[0] + sx) / (2 * sx) * (ncol - 1)
+  gy = (xy[1] + sy) / (2 * sy) * (nrow - 1)
+  gx = jnp.clip(gx, 0.0, ncol - 1.001)
+  gy = jnp.clip(gy, 0.0, nrow - 1.001)
+  c0 = jnp.floor(gx).astype(jnp.int32)
+  r0 = jnp.floor(gy).astype(jnp.int32)
+  fx = gx - c0
+  fy = gy - r0
+  h00 = data[r0, c0]
+  h01 = data[r0, c0 + 1]
+  h10 = data[r0 + 1, c0]
+  h11 = data[r0 + 1, c0 + 1]
+  h = ((1 - fy) * ((1 - fx) * h00 + fx * h01)
+       + fy * ((1 - fx) * h10 + fx * h11)) * sz
+  dx_cell = 2 * sx / (ncol - 1)
+  dy_cell = 2 * sy / (nrow - 1)
+  dhdx = ((1 - fy) * (h01 - h00) + fy * (h11 - h10)) * sz / dx_cell
+  dhdy = ((1 - fx) * (h10 - h00) + fx * (h11 - h01)) * sz / dy_cell
+  n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)])
+  n = n / jnp.maximum(jnp.linalg.norm(n), _MINVAL)
+  return h, n
+
+
+def _sphere_hfield(c2, r2, gpos, gmat, data, sx, sy, sz):
+  """Sphere (g2) vs hfield (g1): returns (dist, pos, n from hfield)."""
+  local = gmat.T @ (c2 - gpos)
+  h, n_l = _hfield_height_normal(local[:2], data, sx, sy, sz)
+  dist = (local[2] - h) * n_l[2] - r2
+  surf_l = jnp.concatenate([local[:2], h[None]])
+  n = gmat @ n_l
+  surf = gpos + gmat @ surf_l
+  sph_low = c2 - n * r2
+  pos = 0.5 * (surf + sph_low)
+  return [(dist, pos, n)]
+
+
+def _capsule_hfield(gpos2, gmat2, r2, h2, gpos, gmat, data, sx, sy, sz):
+  a, b = _capsule_ends(gpos2, gmat2, h2)
+  out = []
+  for p in (a, b, 0.5 * (a + b)):
+    out += _sphere_hfield(p, r2, gpos, gmat, data, sx, sy, sz)
+  return out
+
+
+def _hfield_narrow_fn(m: Model, t2: int, dataid: int, dtype):
+  adr = int(m.hfield_adr[dataid])
+  nrow = int(m.hfield_nrow[dataid])
+  ncol = int(m.hfield_ncol[dataid])
+  data = jnp.asarray(
+      np.asarray(m.hfield_data[adr:adr + nrow * ncol]).reshape(nrow, ncol),
+      dtype)
+  sx, sy, sz = (float(m.hfield_size[dataid, 0]),
+                float(m.hfield_size[dataid, 1]),
+                float(m.hfield_size[dataid, 2]))
+  T = GeomType
+  if t2 == T.SPHERE:
+    return lambda p1, m1, s1, p2, m2, s2: _sphere_hfield(
+        p2, s2[0], p1, m1, data, sx, sy, sz)
+  if t2 == T.CAPSULE:
+    return lambda p1, m1, s1, p2, m2, s2: _capsule_hfield(
+        p2, m2, s2[0], s2[1], p1, m1, data, sx, sy, sz)
+  raise NotImplementedError(f"hfield collision vs type {t2}")
+
+
 def _narrow_fn(t1: int, t2: int):
   """Uniform-signature narrowphase: (p1, m1, s1, p2, m2, s2) -> points."""
   T = GeomType
@@ -785,7 +856,12 @@ def _collision_spec(m: Model) -> "_CollisionSpec | None":
   for p in pairs:
     t1 = int(m.geom_type[p.g1])
     t2 = int(m.geom_type[p.g2])
-    did = int(m.geom_dataid[p.g2]) if t2 == GeomType.MESH else -1
+    if t2 == GeomType.MESH:
+      did = int(m.geom_dataid[p.g2])
+    elif t1 == GeomType.HFIELD:
+      did = int(m.geom_dataid[p.g1])
+    else:
+      did = -1
     by_type.setdefault((t1, t2, did), []).append(p)
 
   condims = {p.condim for p in pairs}
@@ -889,6 +965,8 @@ def narrowphase_all(m: Model, d: Data, spec: "_CollisionSpec"):
   for (t1, t2), g in spec.groups:
     if t2 == GeomType.MESH:
       fn = _mesh_narrow_fn(m, t1, g["dataid"], dtype)
+    elif t1 == GeomType.HFIELD:
+      fn = _hfield_narrow_fn(m, t2, g["dataid"], dtype)
     else:
       fn = _narrow_fn(t1, t2)
     p1 = d.geom_xpos[g["g1"]]

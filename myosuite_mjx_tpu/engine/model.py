@@ -315,6 +315,14 @@ class Model:
   mesh_hull_tris: dict           # mesh id -> (F, 3, 3) hull triangles
   mesh_hull_verts: dict          # mesh id -> (V, 3) hull vertices
 
+  # heightfields
+  nhfield: int
+  hfield_size: np.ndarray        # (nhfield, 4) x, y, z_top, z_bottom
+  hfield_nrow: np.ndarray        # (nhfield,) int
+  hfield_ncol: np.ndarray        # (nhfield,) int
+  hfield_data: np.ndarray        # (sum nrow*ncol,) normalized heights
+  hfield_adr: np.ndarray         # (nhfield,) int
+
   # name maps (host-only metadata)
   names: dict[str, dict[str, int]]
 
@@ -539,6 +547,12 @@ def from_mj(mj: mujoco.MjModel, dtype=np.float64) -> Model:
       sensor_adr=i(mj.sensor_adr),
       sensor_dim=i(mj.sensor_dim),
       geom_dataid=i(mj.geom_dataid),
+      nhfield=mj.nhfield,
+      hfield_size=f(mj.hfield_size),
+      hfield_nrow=i(mj.hfield_nrow),
+      hfield_ncol=i(mj.hfield_ncol),
+      hfield_data=f(mj.hfield_data),
+      hfield_adr=i(mj.hfield_adr),
       mesh_hull_tris=_mesh_hulls(mj, dtype)[0],
       mesh_hull_verts=_mesh_hulls(mj, dtype)[1],
       qpos0=f(mj.qpos0),
