@@ -321,3 +321,23 @@ for _id in ["myoLegStandRandom-v0"]:
                        {"muscle_condition": "sarcopenia"})
   register_env_variant(_id, "myoFati" + _id[3:],
                        {"muscle_condition": "fatigue"})
+
+from myosuite_mjx_tpu.envs.walk import WalkEnv  # noqa: E402
+
+register(
+    "myoLegWalk-v0", WalkEnv, max_episode_steps=1000,
+    kwargs=dict(
+        model_path=asset("simhive/myo_sim/leg/myolegs.xml"),
+        normalize_act=True,
+        min_height=0.8,
+        max_rot=0.8,
+        hip_period=100,
+        reset_type="random",
+        target_x_vel=0.0,
+        target_y_vel=1.2,
+    ))
+for _id in ["myoLegWalk-v0"]:
+  register_env_variant(_id, "myoSarc" + _id[3:],
+                       {"muscle_condition": "sarcopenia"})
+  register_env_variant(_id, "myoFati" + _id[3:],
+                       {"muscle_condition": "fatigue"})

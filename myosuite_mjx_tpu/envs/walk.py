@@ -92,3 +92,143 @@ class LegReachEnv(MyoEnv):
         "solved": reach_dist < near_th,
         "done": reach_dist > far_th,
     }
+
+
+class WalkEnv(MyoEnv):
+  """Gait task: walk at a target velocity with cyclic hip motion.
+
+  Behavior parity with WalkEnvV0
+  (/root/reference/myosuite/envs/myo/myobase/walk_v0.py:184-480): gaussian
+  com-velocity reward, cyclic hip-extension tracking with a phase variable,
+  reference-rotation reward, hip add/rotation regularizer, height/rotation
+  terminations. The com velocity here is the physical mass-weighted body
+  com velocity (the reference approximates it via its com-frame cvel).
+  """
+
+  DEFAULT_OBS_KEYS = [
+      "qpos_without_xy", "qvel", "com_vel", "torso_angle", "feet_heights",
+      "height", "feet_rel_positions", "phase_var", "muscle_length",
+      "muscle_velocity", "muscle_force",
+  ]
+  DEFAULT_RWD_KEYS_AND_WEIGHTS = {
+      "vel_reward": 5.0,
+      "done": -100,
+      "cyclic_hip": -10,
+      "ref_rot": 10.0,
+      "joint_angle_rew": 5.0,
+  }
+
+  def _setup(self, min_height=0.8, max_rot=0.8, hip_period=100,
+             reset_type="init", target_x_vel=0.0, target_y_vel=1.2,
+             target_rot=None, **kwargs):
+    super()._setup(**kwargs)
+    m = self.model
+    self.min_height = min_height
+    self.max_rot = max_rot
+    self.hip_period = hip_period
+    self.reset_type = reset_type
+    self.target_x_vel = target_x_vel
+    self.target_y_vel = target_y_vel
+    self.init_qpos[:] = m.key_qpos[0]
+    self.init_qvel[:] = 0.0
+    self.target_rot = (np.asarray(target_rot) if target_rot is not None
+                       else self.init_qpos[3:7].copy())
+    self.talus_l = m.name2id("body", "talus_l")
+    self.talus_r = m.name2id("body", "talus_r")
+    self.pelvis_bid = m.name2id("body", "pelvis")
+    self.torso_bid = m.name2id("body", "torso")
+    self.hip_flex_adr = np.asarray([
+        m.jnt_qposadr[m.name2id("joint", n)]
+        for n in ("hip_flexion_l", "hip_flexion_r")])
+    self.hip_reg_adr = np.asarray([
+        m.jnt_qposadr[m.name2id("joint", n)]
+        for n in ("hip_adduction_l", "hip_adduction_r",
+                  "hip_rotation_l", "hip_rotation_r")])
+    self._mass = np.asarray(m.body_mass)
+    self._total_mass = float(self._mass.sum())
+
+  def reset_qpos_qvel(self, rng, aux):
+    m = self.model
+    if self.reset_type == "random" and len(m.key_qpos) > 3:
+      k1, k2 = jax.random.split(rng)
+      pick = jax.random.uniform(k1) < 0.5
+      qpos = jnp.where(pick, jnp.asarray(m.key_qpos[2], self.dtype),
+                       jnp.asarray(m.key_qpos[3], self.dtype))
+      qvel = jnp.where(pick, jnp.asarray(m.key_qvel[2], self.dtype),
+                       jnp.asarray(m.key_qvel[3], self.dtype))
+      noise = 0.02 * jax.random.normal(k2, qpos.shape, self.dtype)
+      noisy = qpos + noise
+      # keep root height + orientation exact
+      noisy = noisy.at[2].set(qpos[2])
+      noisy = noisy.at[3:7].set(qpos[3:7])
+      return noisy, qvel
+    if self.reset_type == "init" and len(m.key_qpos) > 2:
+      return (jnp.asarray(m.key_qpos[2], self.dtype),
+              jnp.asarray(m.key_qvel[2], self.dtype))
+    return (jnp.asarray(m.key_qpos[0], self.dtype),
+            jnp.zeros(m.nv, self.dtype))
+
+  def _com(self, data):
+    return (self._mass[:, None] * data.xipos).sum(0) / self._total_mass
+
+  def _com_vel_xy(self, data):
+    # v(xipos_i) from world-origin spatial velocity, mass-weighted
+    ang = data.cvel[:, :3]
+    lin = data.cvel[:, 3:]
+    v = lin + jnp.cross(ang, data.xipos)
+    return (self._mass[:, None] * v).sum(0)[:2] / self._total_mass
+
+  def get_obs_dict(self, data, aux):
+    m = self.model
+    phase = (data.time / self.dt) / self.hip_period % 1.0
+    return {
+        "time": jnp.atleast_1d(data.time),
+        "qpos_without_xy": data.qpos[2:],
+        "qvel": data.qvel * self.dt,
+        "com_vel": self._com_vel_xy(data),
+        "torso_angle": data.xquat[self.torso_bid],
+        "feet_heights": jnp.stack([
+            data.xpos[self.talus_l][2], data.xpos[self.talus_r][2]]),
+        "height": jnp.atleast_1d(self._com(data)[2]),
+        "feet_rel_positions": jnp.concatenate([
+            data.xpos[self.talus_l] - data.xpos[self.pelvis_bid],
+            data.xpos[self.talus_r] - data.xpos[self.pelvis_bid]]),
+        "phase_var": jnp.atleast_1d(phase),
+        "muscle_length": data.actuator_length,
+        "muscle_velocity": jnp.clip(data.actuator_velocity, -100, 100),
+        "muscle_force": jnp.clip(data.actuator_force / 1000, -100, 100),
+        "act": data.act if m.na else jnp.zeros_like(data.qpos),
+    }
+
+  def get_reward_dict(self, obs_dict, data, aux):
+    vel = obs_dict["com_vel"]
+    vel_reward = (jnp.exp(-jnp.square(self.target_y_vel - vel[1]))
+                  + jnp.exp(-jnp.square(self.target_x_vel - vel[0])))
+    phase = obs_dict["phase_var"][0]
+    des = 0.8 * jnp.stack([jnp.cos(phase * 2 * jnp.pi + jnp.pi),
+                           jnp.cos(phase * 2 * jnp.pi)])
+    angles = data.qpos[self.hip_flex_adr]
+    cyclic_hip = jnp.linalg.norm(des - angles)
+    ref_rot = jnp.exp(-jnp.linalg.norm(
+        5.0 * (data.qpos[3:7] - jnp.asarray(self.target_rot, self.dtype))))
+    reg_angles = data.qpos[self.hip_reg_adr]
+    joint_angle_rew = jnp.exp(-5 * jnp.mean(jnp.abs(reg_angles)))
+    height = obs_dict["height"][0]
+    # facing direction from root quat
+    from myosuite_mjx_tpu.ops import quat as qmath
+    fwd = qmath.quat_rotate(data.qpos[3:7],
+                            jnp.array([1.0, 0, 0], self.dtype))
+    rot_bad = jnp.abs(fwd[0]) > self.max_rot
+    done = (height < self.min_height) | rot_bad
+    act_mag = (jnp.linalg.norm(obs_dict["act"], axis=-1) / self.model.na
+               if self.model.na else 0.0)
+    return {
+        "vel_reward": vel_reward,
+        "cyclic_hip": cyclic_hip,
+        "ref_rot": ref_rot,
+        "joint_angle_rew": joint_angle_rew,
+        "act_mag": act_mag,
+        "sparse": vel_reward,
+        "solved": vel_reward >= 1.0,
+        "done": done,
+    }
