@@ -1,0 +1,95 @@
+"""MyoChallenge registrations (Baoding, Die Reorient, Relocate).
+
+IDs/kwargs mirror /root/reference/myosuite/envs/myo/myochallenge/__init__.py.
+(ChaseTag and RunTrack/OSL land with the procedural-terrain + opponent
+state-machine work.)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from myosuite_mjx_tpu.envs.baoding import BaodingEnv
+from myosuite_mjx_tpu.envs.registry import asset, register
+from myosuite_mjx_tpu.envs.relocate import RelocateEnv
+from myosuite_mjx_tpu.envs.reorient import ReorientEnv
+
+register(
+    "myoChallengeBaodingP1-v1", BaodingEnv, max_episode_steps=200,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_baoding.xml"),
+        normalize_act=True,
+        goal_time_period=(5, 5),
+        goal_xrange=(0.025, 0.025),
+        goal_yrange=(0.028, 0.028),
+    ))
+
+register(
+    "myoChallengeBaodingP2-v1", BaodingEnv, max_episode_steps=200,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_baoding.xml"),
+        normalize_act=True,
+        goal_time_period=(4, 6),
+        goal_xrange=(0.020, 0.030),
+        goal_yrange=(0.022, 0.032),
+        task_choice="random",
+    ))
+
+register(
+    "myoChallengeDieReorientDemo-v0", ReorientEnv, max_episode_steps=150,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_die.xml"),
+        normalize_act=True,
+        frame_skip=5,
+        pos_th=np.inf,
+        goal_pos=(0, 0),
+        goal_rot=(-0.785, 0.785),
+    ))
+
+register(
+    "myoChallengeDieReorientP1-v0", ReorientEnv, max_episode_steps=150,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_die.xml"),
+        normalize_act=True,
+        frame_skip=5,
+        goal_pos=(-0.010, 0.010),
+        goal_rot=(-1.57, 1.57),
+    ))
+
+register(
+    "myoChallengeDieReorientP2-v0", ReorientEnv, max_episode_steps=150,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/hand/myohand_die.xml"),
+        normalize_act=True,
+        frame_skip=5,
+        goal_pos=(-0.020, 0.020),
+        goal_rot=(-3.14, 3.14),
+    ))
+
+register(
+    "myoChallengeRelocateP1-v0", RelocateEnv, max_episode_steps=150,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/arm/myoarm_relocate.xml"),
+        normalize_act=True,
+        frame_skip=5,
+        pos_th=0.1,
+        rot_th=np.inf,
+        target_xyz_range={"high": [0.2, -0.1, 0.9], "low": [0.0, -0.35, 0.9]},
+        target_rxryrz_range={"high": [0.0, 0.0, 0.0],
+                             "low": [0.0, 0.0, 0.0]},
+    ))
+
+register(
+    "myoChallengeRelocateP2-v0", RelocateEnv, max_episode_steps=150,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/arm/myoarm_relocate.xml"),
+        normalize_act=True,
+        frame_skip=5,
+        pos_th=0.1,
+        rot_th=np.inf,
+        qpos_noise_range=0.01,
+        target_xyz_range={"high": [0.3, -0.1, 1.05],
+                          "low": [0.0, -0.45, 0.9]},
+        target_rxryrz_range={"high": [0.2, 0.2, 0.2],
+                             "low": [-0.2, -0.2, -0.2]},
+        obj_xyz_range={"high": [0.1, -0.15, 1.0], "low": [-0.1, -0.35, 1.0]},
+    ))
