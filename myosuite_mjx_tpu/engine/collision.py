@@ -971,10 +971,15 @@ def narrowphase_all(m: Model, d: Data, spec: "_CollisionSpec"):
       fn = _narrow_fn(t1, t2)
     p1 = d.geom_xpos[g["g1"]]
     m1 = d.geom_xmat[g["g1"]]
-    s1 = jnp.asarray(m.geom_size[g["g1"]], dtype)
     p2 = d.geom_xpos[g["g2"]]
     m2 = d.geom_xmat[g["g2"]]
-    s2 = jnp.asarray(m.geom_size[g["g2"]], dtype)
+    if "geom_size" in d.overlay:
+      sizes = jnp.asarray(d.overlay["geom_size"], dtype)
+      s1 = sizes[g["g1"]]
+      s2 = sizes[g["g2"]]
+    else:
+      s1 = jnp.asarray(m.geom_size[g["g1"]], dtype)
+      s2 = jnp.asarray(m.geom_size[g["g2"]], dtype)
     pts = jax.vmap(fn)(p1, m1, s1, p2, m2, s2)
     for (di, po, nn) in pts:
       dists.append(di)
@@ -1013,7 +1018,15 @@ def contacts(m: Model, d: Data, max_contacts: int | None = None):
   viol = score[idx]
   b1 = jnp.asarray(spec.body1)[idx]
   b2 = jnp.asarray(spec.body2)[idx]
-  fric = jnp.asarray(spec.friction, dtype)[idx]
+  if "geom_friction" in d.overlay:
+    # recombine pairwise slide/spin/roll friction (equal-priority max rule)
+    gf = jnp.asarray(d.overlay["geom_friction"], dtype)
+    f3 = jnp.maximum(gf[jnp.asarray(spec.geom1)[idx]],
+                     gf[jnp.asarray(spec.geom2)[idx]])
+    fric = jnp.stack(
+        [f3[:, 0], f3[:, 0], f3[:, 1], f3[:, 2], f3[:, 2]], axis=1)
+  else:
+    fric = jnp.asarray(spec.friction, dtype)[idx]
   solref = jnp.asarray(spec.solref, dtype)[idx]
   solimp = jnp.asarray(spec.solimp, dtype)[idx]
   iw = jnp.asarray(spec.invweight, dtype)[idx]

@@ -92,6 +92,11 @@ class Data:
   # ---- sensors ----
   sensordata: jax.Array  # (nsensordata,)
 
+  # ---- model overlay (per-env domain randomization) ----
+  # optional per-instance overrides of model constants; recognized keys:
+  # "body_mass" (nbody,), "geom_size" (ngeom, 3), "geom_friction" (ngeom, 3)
+  overlay: dict
+
 
 def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
   """Fresh Data at qpos0 (call engine.forward to populate derived fields)."""
@@ -162,4 +167,5 @@ def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
       efc_force_limit=z(0),
       ne_active=jnp.zeros((), jnp.int32),
       sensordata=z(m.nsensordata),
+      overlay={},
   )

@@ -31,7 +31,7 @@ from myosuite_mjx_tpu.engine.model import (
 
 def fwd_position(m: Model, d: Data) -> Data:
   kin = smooth.kinematics(m, d.qpos, d.mocap_pos, d.mocap_quat)
-  subtree_com, cinert, cdof = smooth.com_pos(m, kin)
+  subtree_com, cinert, cdof = smooth.com_pos(m, kin, d.overlay)
   ten_length, ten_J = tendon_mod.tendon(m, kin, cdof)
   if m.ntendon:
     ten_length = ten_length + tendon_mod.fixed_tendon_length(m, d.qpos)

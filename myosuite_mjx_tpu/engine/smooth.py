@@ -156,11 +156,19 @@ def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def com_pos(m: Model, kin: dict):
-  """subtree_com, cinert (world-origin 6x6), cdof (world-origin axes)."""
+def com_pos(m: Model, kin: dict, overlay: dict | None = None):
+  """subtree_com, cinert (world-origin 6x6), cdof (world-origin axes).
+
+  ``overlay['body_mass']`` (domain randomization) overrides the static
+  masses; inertia tensors stay nominal, matching the reference's
+  setConst-skipping approximation (baoding_v1.py:364).
+  """
   xipos, ximat = kin["xipos"], kin["ximat"]
   dtype = xipos.dtype
-  mass = jnp.asarray(m.body_mass, dtype)
+  if overlay and "body_mass" in overlay:
+    mass = jnp.asarray(overlay["body_mass"], dtype)
+  else:
+    mass = jnp.asarray(m.body_mass, dtype)
 
   # subtree com by reverse accumulation (statically unrolled)
   wsum = [mass[i] * xipos[i] for i in range(m.nbody)]

@@ -48,6 +48,11 @@ class BaodingEnv(MyoEnv):
              obj_friction_change=None, **kwargs):
     super()._setup(**kwargs)
     m = self.model
+    self.obj_size_range = obj_size_range
+    self.obj_mass_range = obj_mass_range
+    self.obj_friction_change = obj_friction_change
+    self.ball_bids = (m.name2id("body", "ball1"), m.name2id("body", "ball2"))
+    self.ball_gids = (m.name2id("geom", "ball1"), m.name2id("geom", "ball2"))
     self.drop_th = drop_th
     self.proximity_th = proximity_th
     self.goal_time_period = tuple(goal_time_period)
@@ -82,6 +87,38 @@ class BaodingEnv(MyoEnv):
         "time_period": jax.random.uniform(
             k5, (), self.dtype, *self.goal_time_period),
     }
+
+  def reset_overlay(self, rng, aux):
+    if not (self.obj_size_range or self.obj_mass_range
+            or self.obj_friction_change):
+      return {}
+    m = self.model
+    k1, k2, k3 = jax.random.split(rng, 3)
+    out = {}
+    if self.obj_size_range:
+      draws = jax.random.uniform(
+          k1, (2,), self.dtype, *self.obj_size_range)
+      sizes = jnp.asarray(m.geom_size, self.dtype)
+      for i, g in enumerate(self.ball_gids):
+        sizes = sizes.at[g, 0].set(draws[i])
+      out["geom_size"] = sizes
+    if self.obj_mass_range:
+      draws = jax.random.uniform(
+          k2, (2,), self.dtype, *self.obj_mass_range)
+      masses = jnp.asarray(m.body_mass, self.dtype)
+      for i, b in enumerate(self.ball_bids):
+        masses = masses.at[b].set(draws[i])
+      out["body_mass"] = masses
+    if self.obj_friction_change:
+      delta = jnp.asarray(self.obj_friction_change, self.dtype)
+      nominal = jnp.asarray(m.geom_friction, self.dtype)
+      draws = jax.random.uniform(
+          k3, (2, 3), self.dtype, -delta, delta)
+      fric = nominal
+      for i, g in enumerate(self.ball_gids):
+        fric = fric.at[g].set(nominal[g] + draws[i])
+      out["geom_friction"] = fric
+    return out
 
   def _target_world(self, data: Data, aux: dict):
     """Target site world positions for the current step."""

@@ -180,9 +180,17 @@ class MyoEnv:
     qpos, qvel = self.reset_qpos_qvel(k_state, aux)
     d = data_mod.make_data(self.model, dtype=self.dtype)
     d = d.replace(qpos=qpos.astype(self.dtype), qvel=qvel.astype(self.dtype))
+    overlay = self.reset_overlay(k_state, aux)
+    if overlay:
+      d = d.replace(overlay=overlay)
     d = forward_mod.forward(self.model, d)
     aux = self.post_reset_aux(d, aux, k_aux)
     return self._mk_state(d, rng, aux, 0)
+
+  def reset_overlay(self, rng: jax.Array, aux: dict) -> dict:
+    """Per-episode model-constant overrides (domain randomization):
+    {"body_mass", "geom_size", "geom_friction"} -> full-size arrays."""
+    return {}
 
   def post_reset_aux(self, data: Data, aux: dict, rng: jax.Array) -> dict:
     """Task state that depends on the freshly-reset physics (e.g. targets

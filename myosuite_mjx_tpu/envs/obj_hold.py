@@ -83,4 +83,11 @@ class ObjHoldEnv(MyoEnv):
 
 
 class ObjHoldRandomEnv(ObjHoldEnv):
+  """Goal-position + object-size randomization (obj_hold_v0.py:123-142)."""
   randomize_goal = True
+
+  def reset_overlay(self, rng, aux):
+    m = self.model
+    size = jax.random.uniform(rng, (3,), self.dtype, 0.020, 0.030)
+    sizes = jnp.asarray(m.geom_size, self.dtype).at[-1].set(size)
+    return {"geom_size": sizes}

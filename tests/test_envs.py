@@ -13,8 +13,19 @@ import pytest
 from myosuite_mjx_tpu import envs
 
 # full-sweep on the small models; hand spot-checked (compile cost)
-SWEEP = [i for i in envs.registry_ids() if "Hand" not in i]
-SWEEP += ["myoHandPose0Fixed-v0"]
+SWEEP = [i for i in envs.registry_ids()
+         if "Hand" not in i and "Leg" not in i and "Challenge" not in i]
+SWEEP += [
+    "myoHandPose0Fixed-v0",
+    "myoHandObjHoldRandom-v0",
+    "myoHandKeyTurnFixed-v0",
+    "myoHandPenTwirlRandom-v0",
+    "myoLegStandRandom-v0",
+    "MyoHandAirplaneFly-v0",
+    "MyoHandAppleRandom-v0",
+    "myoChallengeBaodingP2-v1",
+    "myoChallengeDieReorientP1-v0",
+]
 
 
 @pytest.mark.parametrize("env_id", SWEEP)
