@@ -754,13 +754,18 @@ def _capsule_hfield(gpos2, gmat2, r2, h2, gpos, gmat, data, sx, sy, sz):
   return out
 
 
-def _hfield_narrow_fn(m: Model, t2: int, dataid: int, dtype):
+def _hfield_narrow_fn(m: Model, t2: int, dataid: int, dtype,
+                      overlay: dict | None = None):
   adr = int(m.hfield_adr[dataid])
   nrow = int(m.hfield_nrow[dataid])
   ncol = int(m.hfield_ncol[dataid])
-  data = jnp.asarray(
-      np.asarray(m.hfield_data[adr:adr + nrow * ncol]).reshape(nrow, ncol),
-      dtype)
+  if overlay and "hfield_data" in overlay:
+    data = jnp.asarray(overlay["hfield_data"], dtype)[
+        adr:adr + nrow * ncol].reshape(nrow, ncol)
+  else:
+    data = jnp.asarray(
+        np.asarray(m.hfield_data[adr:adr + nrow * ncol]).reshape(nrow, ncol),
+        dtype)
   sx, sy, sz = (float(m.hfield_size[dataid, 0]),
                 float(m.hfield_size[dataid, 1]),
                 float(m.hfield_size[dataid, 2]))
@@ -966,7 +971,7 @@ def narrowphase_all(m: Model, d: Data, spec: "_CollisionSpec"):
     if t2 == GeomType.MESH:
       fn = _mesh_narrow_fn(m, t1, g["dataid"], dtype)
     elif t1 == GeomType.HFIELD:
-      fn = _hfield_narrow_fn(m, t2, g["dataid"], dtype)
+      fn = _hfield_narrow_fn(m, t2, g["dataid"], dtype, d.overlay)
     else:
       fn = _narrow_fn(t1, t2)
     p1 = d.geom_xpos[g["g1"]]
