@@ -341,3 +341,29 @@ for _id in ["myoLegWalk-v0"]:
                        {"muscle_condition": "sarcopenia"})
   register_env_variant(_id, "myoFati" + _id[3:],
                        {"muscle_condition": "fatigue"})
+
+from myosuite_mjx_tpu.envs.walk import TerrainWalkEnv  # noqa: E402
+
+for _tid, _terrain, _variant in [
+    ("myoLegRoughTerrainWalk-v0", "rough", None),
+    ("myoLegHillyTerrainWalk-v0", "hilly", "fixed"),
+    ("myoLegStairTerrainWalk-v0", "stairs", "fixed"),
+]:
+  register(
+      _tid, TerrainWalkEnv, max_episode_steps=1000,
+      kwargs=dict(
+          model_path=asset("simhive/myo_sim/leg/myolegs.xml"),
+          normalize_act=True,
+          min_height=0.8,
+          max_rot=0.8,
+          hip_period=100,
+          reset_type="random",
+          target_x_vel=0.0,
+          target_y_vel=1.2,
+          terrain=_terrain,
+          variant=_variant,
+      ))
+  register_env_variant(_tid, "myoSarc" + _tid[3:],
+                       {"muscle_condition": "sarcopenia"})
+  register_env_variant(_tid, "myoFati" + _tid[3:],
+                       {"muscle_condition": "fatigue"})

@@ -118,10 +118,17 @@ class WalkEnv(MyoEnv):
       "joint_angle_rew": 5.0,
   }
 
+  move_terrain_away = True
+
   def _setup(self, min_height=0.8, max_rot=0.8, hip_period=100,
              reset_type="init", target_x_vel=0.0, target_y_vel=1.2,
              target_rot=None, **kwargs):
     super()._setup(**kwargs)
+    if self.move_terrain_away and "terrain" in self.model.names["geom"]:
+      import dataclasses as _dc
+      gp = np.array(self.model.geom_pos)
+      gp[self.model.name2id("geom", "terrain")] = [0, 0, -10]
+      self.model = _dc.replace(self.model, geom_pos=gp)
     m = self.model
     self.min_height = min_height
     self.max_rot = max_rot
@@ -232,3 +239,60 @@ class WalkEnv(MyoEnv):
         "solved": vel_reward >= 1.0,
         "done": done,
     }
+
+
+class TerrainWalkEnv(WalkEnv):
+  """Walk over procedurally-generated terrain (rough / hilly / stairs).
+
+  Behavior parity with TerrainEnvV0
+  (/root/reference/myosuite/envs/myo/myobase/walk_v0.py:490-650): the same
+  generation recipes (uniform rubble scaled 0.08 with -0.02 offset, flat
+  lead-in + sinusoid hills, flat + 12 stairs), produced on device as a
+  per-episode hfield overlay instead of host-side model writes.
+  """
+
+  move_terrain_away = False
+
+  def _setup(self, terrain="rough", variant=None, **kwargs):
+    self.terrain = terrain
+    self.variant = variant
+    super()._setup(**kwargs)
+
+  def reset_overlay(self, rng, aux):
+    n = len(self.model.hfield_data)
+    if n == 0:
+      return {}
+    nrow = int(self.model.hfield_nrow[0])
+    ncol = int(self.model.hfield_ncol[0])
+    if self.terrain == "rough":
+      r = jax.random.uniform(rng, (n,), self.dtype, -0.5, 0.5)
+      norm = (r - r.min()) / (r.max() - r.min())
+      data = norm * 0.08 - 0.02
+    elif self.terrain == "hilly":
+      flat_len, freq = 3000, 3
+      scalar = (0.63 if self.variant == "fixed"
+                else jax.random.uniform(rng, (), self.dtype, 0.53, 0.73))
+      ramp = -2 + 0.5 * (jnp.sin(
+          jnp.linspace(0, freq * jnp.pi, n - flat_len) + jnp.pi / 2) - 1)
+      comb = jnp.concatenate([-2 * jnp.ones(flat_len, self.dtype), ramp])
+      norm = (comb - comb.min()) / (comb.max() - comb.min())
+      data = jnp.flip(
+          norm.reshape(nrow, ncol) * scalar, (0, 1)).ravel()
+    elif self.terrain == "stairs":
+      num_stairs, stair_height = 12, 0.1
+      flat_cells = int(5200 - (n - 5200) % num_stairs)
+      stairs_width = (n - flat_cells) // num_stairs
+      scalar = (2.5 if self.variant == "fixed"
+                else jax.random.uniform(rng, (), self.dtype, 1.5, 3.5))
+      rows = [jnp.full((flat_cells // ncol, ncol), -2.0, self.dtype)]
+      for j in range(num_stairs):
+        rows.append(jnp.full((int(stairs_width // ncol), ncol),
+                             -2.0 + stair_height * j, self.dtype))
+      terr = jnp.concatenate(rows, axis=0)
+      norm = (terr + 2) / (2 + stair_height * num_stairs)
+      padded = jnp.zeros((nrow, ncol), self.dtype)
+      padded = padded.at[:norm.shape[0]].set(norm[:nrow])
+      data = jnp.flip(padded * scalar, (0, 1)).ravel()
+    else:
+      data = jnp.zeros(n, self.dtype)
+    return {"hfield_data": data.astype(self.dtype)}
