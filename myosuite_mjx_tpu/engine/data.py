@@ -86,6 +86,7 @@ class Data:
 
   # ---- constraints ----
   contact: Contact
+  contact_force: jax.Array     # (ncon,) normal force per contact slot
   efc_force_limit: jax.Array   # (nlimit,) diagnostic
   ne_active: jax.Array         # () number of active contacts (diagnostic)
 
@@ -164,6 +165,7 @@ def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
       qacc_smooth=z(m.nv),
       qfrc_constraint=z(m.nv),
       contact=contact,
+      contact_force=z(ncon),
       efc_force_limit=z(0),
       ne_active=jnp.zeros((), jnp.int32),
       sensordata=z(m.nsensordata),

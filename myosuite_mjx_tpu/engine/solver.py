@@ -99,7 +99,15 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   qacc, force = _newton_solve(m, d, J, aref, D, is_eq,
                               iterations, ls_iterations)
   out = d.replace(qfrc_constraint=J.T @ force, qacc=qacc)
-  if contact_info is not None:
+  from myosuite_mjx_tpu.engine.model import DSBL_CONTACT
+  if contact_info is not None and not (m.opt.disableflags & DSBL_CONTACT):
+    # normal force per contact: pyramid rows have unit normal coefficient,
+    # so the slot's normal force is the sum of its row forces
+    ncon = contact_info.dist.shape[0]
+    nrows_contact = contact_blocks["J"].shape[0]
+    rows_per = nrows_contact // max(ncon, 1)
+    cforce = force[-nrows_contact:].reshape(ncon, rows_per).sum(axis=1)
     out = out.replace(contact=contact_info,
+                      contact_force=cforce,
                       ne_active=jnp.sum(contact_info.dist < 0))
   return out

@@ -96,3 +96,36 @@ register(
                              "low": [-0.2, -0.2, -0.2]},
         obj_xyz_range={"high": [0.1, -0.15, 1.0], "low": [-0.1, -0.35, 1.0]},
     ))
+
+from myosuite_mjx_tpu.envs.chasetag import ChaseTagEnv  # noqa: E402
+
+register(
+    "myoChallengeChaseTagP1-v0", ChaseTagEnv, max_episode_steps=2000,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/leg/myolegs_chasetag.xml"),
+        normalize_act=True,
+        win_distance=0.5,
+        min_spawn_distance=2,
+        reset_type="init",
+        terrain="FLAT",
+        task_choice="CHASE",
+        opponent_probabilities=(0.1, 0.45, 0.45),
+    ))
+
+register(
+    "myoChallengeChaseTagP2-v0", ChaseTagEnv, max_episode_steps=2000,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/leg/myolegs_chasetag.xml"),
+        normalize_act=True,
+        win_distance=0.5,
+        min_spawn_distance=2,
+        reset_type="random",
+        terrain="random",
+        task_choice="random",
+        hills_range=(0.03, 0.23),
+        rough_range=(0.05, 0.1),
+        relief_range=(0.1, 0.3),
+        chase_vel_range=(1.0, 1.0),
+        random_vel_range=(-2, 2),
+        opponent_probabilities=(0.1, 0.45, 0.45),
+    ))
