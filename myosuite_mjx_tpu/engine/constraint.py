@@ -101,7 +101,7 @@ def _limit_spec(m: Model) -> _LimitSpec:
   tl = [t for t in range(m.ntendon) if bool(m.tendon_limited[t])]
   eq_j1, eq_j2 = [], []
   for e in range(m.neq):
-    if int(m.eq_type[e]) != EqType.JOINT:
+    if int(m.eq_type[e]) not in (EqType.JOINT, EqType.TENDON):
       raise NotImplementedError(f"equality type {int(m.eq_type[e])}")
     if bool(m.eq_active0[e]):
       eq_j1.append(int(m.eq_obj1id[e]))
@@ -131,10 +131,37 @@ def make_efc(m: Model, d: Data, contact_blocks: dict | None):
 
   Js, poss, invws, srs, sis, eqs = [], [], [], [], [], []
 
-  # --- joint-coupling equality rows ---
+  # --- joint/tendon-coupling equality rows ---
   if len(spec.eq_j1) and not (dsbl & DSBL_EQUALITY):
     for e in range(m.neq):
-      if int(m.eq_type[e]) != EqType.JOINT or not bool(m.eq_active0[e]):
+      if not bool(m.eq_active0[e]):
+        continue
+      if int(m.eq_type[e]) == EqType.TENDON:
+        t1 = int(m.eq_obj1id[e])
+        t2 = int(m.eq_obj2id[e])
+        data = m.eq_data[e]
+        c0, c1, c2, c3, c4 = (float(x) for x in data[:5])
+        L1_0 = float(m.tendon_length0[t1])
+        if t2 < 0:
+          pos = d.ten_length[t1] - L1_0 - c0
+          J = d.ten_J[t1]
+          iw = float(m.tendon_invweight0[t1])
+        else:
+          L2_0 = float(m.tendon_length0[t2])
+          dif = d.ten_length[t2] - L2_0
+          poly = c0 + c1 * dif + c2 * dif**2 + c3 * dif**3 + c4 * dif**4
+          dpoly = c1 + 2 * c2 * dif + 3 * c3 * dif**2 + 4 * c4 * dif**3
+          pos = d.ten_length[t1] - L1_0 - poly
+          J = d.ten_J[t1] - dpoly * d.ten_J[t2]
+          iw = float(m.tendon_invweight0[t1] + m.tendon_invweight0[t2])
+        Js.append(J[None])
+        poss.append(pos[None])
+        invws.append(jnp.asarray([iw], dtype))
+        srs.append(jnp.asarray(m.eq_solref[e], dtype)[None])
+        sis.append(jnp.asarray(m.eq_solimp[e], dtype)[None])
+        eqs.append(np.array([True]))
+        continue
+      if int(m.eq_type[e]) != EqType.JOINT:
         continue
       j1 = int(m.eq_obj1id[e])
       j2 = int(m.eq_obj2id[e])

@@ -129,3 +129,16 @@ register(
         random_vel_range=(-2, 2),
         opponent_probabilities=(0.1, 0.45, 0.45),
     ))
+
+from myosuite_mjx_tpu.envs.bimanual import BimanualEnv  # noqa: E402
+
+register(
+    "myoChallengeBimanual-v0", BimanualEnv, max_episode_steps=1000,
+    kwargs=dict(
+        model_path=asset("envs/myo/assets/arm/myoarm_bionic_bimanual.xml"),
+        normalize_act=True,
+        frame_skip=5,
+        obj_scale_change=[0.1, 0.05, 0.1],
+        obj_mass_change=(-0.050, 0.050),
+        obj_friction_change=(0.1, 0.001, 0.00002),
+    ))
