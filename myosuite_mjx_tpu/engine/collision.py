@@ -60,6 +60,12 @@ _SUPPORTED = {
     (GeomType.CAPSULE, GeomType.CYLINDER),
     (GeomType.CAPSULE, GeomType.ELLIPSOID),
     (GeomType.CAPSULE, GeomType.BOX),
+    (GeomType.ELLIPSOID, GeomType.ELLIPSOID),
+    (GeomType.ELLIPSOID, GeomType.CYLINDER),
+    (GeomType.ELLIPSOID, GeomType.BOX),
+    (GeomType.CYLINDER, GeomType.CYLINDER),
+    (GeomType.CYLINDER, GeomType.BOX),
+    (GeomType.BOX, GeomType.BOX),
     (GeomType.HFIELD, GeomType.SPHERE),
     (GeomType.HFIELD, GeomType.CAPSULE),
     (GeomType.PLANE, GeomType.MESH),
@@ -522,6 +528,281 @@ def _capsule_box(gpos1, gmat1, r1, h1, gpos2, gmat2, size):
   return out
 
 
+# ---------------------------------------------------------------------------
+# generic convex-convex: support-map MPR (penetration) + alternating
+# closest-point projection (separation / margin contacts)
+#
+# Covers the ellipsoid/cylinder/box cross pairs the reference gets from
+# MuJoCo's libccd convex path (e.g. SAR-reorient objects vs the myoHand
+# fingertip-pad ellipsoids, reorient_sar_v0.py scenes). Shape-uniform:
+# fixed iteration counts, masked updates, one contact slot per pair.
+# ---------------------------------------------------------------------------
+
+
+def _support_local(t: int):
+  """f(size, d_local) -> support point of the geom in its local frame."""
+  T = GeomType
+  if t == T.SPHERE:
+    return lambda s, d: s[0] * d / jnp.maximum(jnp.linalg.norm(d), _MINVAL)
+  if t == T.CAPSULE:
+    def f(s, d):
+      dn = d / jnp.maximum(jnp.linalg.norm(d), _MINVAL)
+      z = jnp.where(d[2] >= 0, s[1], -s[1])
+      return s[0] * dn + jnp.array([0.0, 0.0, 1.0], d.dtype) * z
+    return f
+  if t == T.ELLIPSOID:
+    def f(s, d):
+      w = s * d
+      return s * w / jnp.maximum(jnp.linalg.norm(w), _MINVAL)
+    return f
+  if t == T.CYLINDER:
+    def f(s, d):
+      nxy = jnp.linalg.norm(d[:2])
+      xy = jnp.where(nxy > 1e-12, s[0] * d[:2] / jnp.maximum(nxy, _MINVAL),
+                     jnp.zeros(2, d.dtype))
+      z = jnp.where(d[2] >= 0, s[1], -s[1])
+      return jnp.concatenate([xy, z[None]])
+    return f
+  if t == T.BOX:
+    return lambda s, d: s * jnp.where(d >= 0, 1.0, -1.0).astype(d.dtype)
+  raise NotImplementedError(f"support map for geom type {t}")
+
+
+def _closest_surface_local(t: int):
+  """f(size, p_local) -> (surface point, outward normal, signed dist)."""
+  T = GeomType
+  if t == T.SPHERE:
+    def f(s, p):
+      pn = jnp.linalg.norm(p)
+      n = p / jnp.maximum(pn, _MINVAL)
+      return s[0] * n, n, pn - s[0]
+    return f
+  if t == T.CAPSULE:
+    def f(s, p):
+      seg = jnp.clip(p[2], -s[1], s[1])
+      c = jnp.array([0.0, 0.0, 1.0], p.dtype) * seg
+      d = p - c
+      dn = jnp.linalg.norm(d)
+      n = d / jnp.maximum(dn, _MINVAL)
+      return c + s[0] * n, n, dn - s[0]
+    return f
+  if t == T.ELLIPSOID:
+    return lambda s, p: _ellipsoid_surface_point(p, s)
+  if t == T.CYLINDER:
+    return lambda s, p: _cylinder_surface_point(p, s[0], s[1])
+  if t == T.BOX:
+    def f(s, p):
+      inside = jnp.all(jnp.abs(p) < s)
+      # outside: clamp to the box
+      q_out = jnp.clip(p, -s, s)
+      d_out = p - q_out
+      dn_out = jnp.linalg.norm(d_out)
+      n_out = d_out / jnp.maximum(dn_out, _MINVAL)
+      # inside: push to the nearest face
+      gaps = s - jnp.abs(p)
+      k = jnp.argmin(gaps)
+      sign = jnp.where(p[k] >= 0, 1.0, -1.0)
+      q_in = p.at[k].set(sign * s[k])
+      n_in = jnp.zeros(3, p.dtype).at[k].set(sign)
+      d_in = -jnp.min(gaps)
+      return (jnp.where(inside, q_in, q_out),
+              jnp.where(inside, n_in, n_out),
+              jnp.where(inside, d_in, dn_out))
+    return f
+  raise NotImplementedError(f"closest-point map for geom type {t}")
+
+
+def _mpr_penetration(sup_m, v0):
+  """Minkowski Portal Refinement (Snethen/libccd semantics).
+
+  sup_m(d) -> (v, a1, a2): support of the Minkowski difference S2 - S1 in
+  world direction d with witness points a1 on S1, a2 on S2. v0 is an
+  interior point of the difference (center2 - center1). Returns
+  (hit, depth, n_contact, pos) where n_contact points from geom1 into
+  geom2 and pos is the MuJoCo mid-penetration point.
+  """
+  dtype = v0.dtype
+  eps = jnp.asarray(1e-12, dtype)
+
+  def norm(x):
+    return x / jnp.maximum(jnp.linalg.norm(x), _MINVAL)
+
+  # degenerate center overlap: nudge
+  v0 = jnp.where(jnp.linalg.norm(v0) < 1e-10,
+                 v0 + jnp.array([1e-8, 0, 0], dtype), v0)
+
+  v1, a11, a12 = sup_m(-v0)
+  sep1 = jnp.dot(v1, -v0) < 0  # origin beyond support along -v0
+
+  d2 = jnp.cross(v1, v0)
+  # origin on the v0-v1 line: perturb the direction deterministically
+  d2 = jnp.where(jnp.linalg.norm(d2) < 1e-12,
+                 jnp.cross(v1 + jnp.array([3e-8, 1e-8, 2e-8], dtype), v0),
+                 d2)
+  d2 = jnp.where(jnp.linalg.norm(d2) < 1e-12,
+                 jnp.array([0.0, 0.0, 1.0], dtype), d2)
+  v2, a21, a22 = sup_m(norm(d2))
+  sep2 = jnp.dot(v2, norm(d2)) < 0
+
+  n0 = jnp.cross(v1 - v0, v2 - v0)
+  flip = jnp.dot(n0, v0) > 0
+  v1, v2 = jnp.where(flip, v2, v1), jnp.where(flip, v1, v2)
+  a11, a21 = jnp.where(flip, a21, a11), jnp.where(flip, a11, a21)
+  a12, a22 = jnp.where(flip, a22, a12), jnp.where(flip, a12, a22)
+
+  # --- portal discovery: find v3 such that origin ray pierces (v1,v2,v3)
+  def disc_body(_, c):
+    v1, v2, a11, a12, a21, a22, v3, a31, a32, done = c
+    dirn = norm(jnp.cross(v1 - v0, v2 - v0))
+    v3n, b1, b2 = sup_m(dirn)
+    v3 = jnp.where(done, v3, v3n)
+    a31 = jnp.where(done, a31, b1)
+    a32 = jnp.where(done, a32, b2)
+    out1 = jnp.dot(jnp.cross(v1, v3), v0) < -eps   # origin outside (v1,0,v3)
+    out2 = jnp.dot(jnp.cross(v3, v2), v0) < -eps   # origin outside (v3,0,v2)
+    newdone = done | (~out1 & ~out2)
+    # replace v2 <- v3 when out1; v1 <- v3 when out2
+    rep2 = ~newdone & out1
+    rep1 = ~newdone & ~out1 & out2
+    v2 = jnp.where(rep2, v3, v2)
+    a21 = jnp.where(rep2, a31, a21)
+    a22 = jnp.where(rep2, a32, a22)
+    v1 = jnp.where(rep1, v3, v1)
+    a11 = jnp.where(rep1, a31, a11)
+    a12 = jnp.where(rep1, a32, a12)
+    return (v1, v2, a11, a12, a21, a22, v3, a31, a32, newdone)
+
+  z = jnp.zeros(3, dtype)
+  (v1, v2, a11, a12, a21, a22, v3, a31, a32, found) = jax.lax.fori_loop(
+      0, 16, disc_body,
+      (v1, v2, a11, a12, a21, a22, z, z, z, jnp.asarray(False)))
+
+  # --- portal refinement
+  def ref_body(_, c):
+    v1, v2, v3, a11, a12, a21, a22, a31, a32, done = c
+    n = norm(jnp.cross(v2 - v1, v3 - v1))
+    # keep n oriented away from v0 (outward through the portal)
+    n = jnp.where(jnp.dot(n, v0) > 0, -n, n)
+    v4, b1, b2 = sup_m(n)
+    prog = jnp.dot(v4 - v1, n)
+    done = done | (prog < 1e-7)
+    # libccd expand-portal vertex replacement
+    v4v0 = jnp.cross(v4, v0)
+    c1 = jnp.dot(v1, v4v0) > 0
+    c2 = jnp.dot(v2, v4v0) > 0
+    c3 = jnp.dot(v3, v4v0) > 0
+    rep1 = ~done & c1 & c2      # libccd ExpandPortal rules
+    rep3 = ~done & c1 & ~c2
+    rep2 = ~done & ~c1 & c3
+    rep1b = ~done & ~c1 & ~c3
+    def put(v, a, b, rep):
+      return (jnp.where(rep, v4, v), jnp.where(rep, b1, a),
+              jnp.where(rep, b2, b))
+    v1, a11, a12 = put(v1, a11, a12, rep1 | rep1b)
+    v2, a21, a22 = put(v2, a21, a22, rep2)
+    v3, a31, a32 = put(v3, a31, a32, rep3)
+    return (v1, v2, v3, a11, a12, a21, a22, a31, a32, done)
+
+  (v1, v2, v3, a11, a12, a21, a22, a31, a32, _) = jax.lax.fori_loop(
+      0, 24, ref_body,
+      (v1, v2, v3, a11, a12, a21, a22, a31, a32, jnp.asarray(False)))
+
+  n = norm(jnp.cross(v2 - v1, v3 - v1))
+  n = jnp.where(jnp.dot(n, v0) > 0, -n, n)
+  # depth: directional penetration along n (support distance). For the
+  # converged n this is second-order accurate in the normal error, vs the
+  # first-order-underestimating portal-plane distance dot(v1, n).
+  v4f, _, _ = sup_m(n)
+  depth = jnp.dot(v4f, n)
+  hit = (jnp.dot(v1, n) >= -1e-10) & ~sep1 & ~sep2 & found
+
+  # witness position: barycentric coords of the origin projected onto the
+  # portal plane (plane through v1 with normal n): p = (v1.n) n
+  p = jnp.dot(v1, n) * n
+  e1, e2 = v2 - v1, v3 - v1
+  q = p - v1
+  d11, d12, d22 = jnp.dot(e1, e1), jnp.dot(e1, e2), jnp.dot(e2, e2)
+  q1, q2 = jnp.dot(q, e1), jnp.dot(q, e2)
+  det = jnp.maximum(d11 * d22 - d12 * d12, _MINVAL)
+  l2 = (d22 * q1 - d12 * q2) / det
+  l3 = (d11 * q2 - d12 * q1) / det
+  l1 = 1.0 - l2 - l3
+  lam = jnp.clip(jnp.stack([l1, l2, l3]), 0.0, 1.0)
+  lam = lam / jnp.maximum(jnp.sum(lam), _MINVAL)
+  p_on1 = lam[0] * a11 + lam[1] * a21 + lam[2] * a31
+  p_on2 = lam[0] * a12 + lam[1] * a22 + lam[2] * a32
+  pos = 0.5 * (p_on1 + p_on2)
+
+  # --- normal polish: projected gradient descent on the directional depth
+  # depth_dir(nc) = dot(sup1(nc) - sup2(-nc), nc), whose minimum over unit
+  # nc is the true MTV depth/normal. By the envelope theorem the gradient
+  # is (x1 - x2) projected to the tangent space; eta = 1/|v0| is the exact
+  # Newton step for spheres. Argmin-keep makes every iterate monotone-safe
+  # (depth_dir >= true depth for any direction), so overshoot on flat
+  # features (box faces) can never make the answer worse than MPR's.
+  eta0 = 1.0 / jnp.maximum(jnp.linalg.norm(v0), _MINVAL)
+
+  def polish_body(i, c):
+    nc, bd, bn, bp = c
+    _, x1, x2 = sup_m(-nc)        # x1 = sup1(nc), x2 = sup2(-nc)
+    g = x1 - x2
+    d_dir = jnp.dot(g, nc)
+    better = d_dir < bd
+    bd = jnp.where(better, d_dir, bd)
+    bn = jnp.where(better, nc, bn)
+    bp = jnp.where(better, 0.5 * (x1 + x2), bp)
+    g_t = g - jnp.dot(g, nc) * nc
+    eta = eta0 * (1.5 * 0.7 ** i)
+    nc = norm(nc - eta * g_t)
+    return nc, bd, bn, bp
+
+  _, depth, n_c, pos = jax.lax.fori_loop(
+      0, 10, polish_body, (-n, depth, -n, pos))
+  return hit, depth, n_c, pos
+
+
+def _alternating_closest(cl1, cl2, p1, m1, s1, p2, m2, s2, iters=12):
+  """Closest points between two disjoint convex geoms by alternating
+  projection of the surface-point maps. Returns (dist, pos, n)."""
+  x = p2  # start from geom2's center
+
+  def body(_, x):
+    y_l, _, _ = cl1(s1, m1.T @ (x - p1))
+    y = p1 + m1 @ y_l
+    x_l, _, _ = cl2(s2, m2.T @ (y - p2))
+    return p2 + m2 @ x_l
+
+  x = jax.lax.fori_loop(0, iters, body, x)
+  y_l, _, _ = cl1(s1, m1.T @ (x - p1))
+  y = p1 + m1 @ y_l
+  d = x - y
+  dn = jnp.linalg.norm(d)
+  n = d / jnp.maximum(dn, _MINVAL)
+  return dn, 0.5 * (x + y), n
+
+
+def _convex_convex_fn(t1: int, t2: int):
+  """Uniform-signature narrowphase for a generic convex pair."""
+  sup1, sup2 = _support_local(t1), _support_local(t2)
+  cl1, cl2 = _closest_surface_local(t1), _closest_surface_local(t2)
+
+  def fn(p1, m1, s1, p2, m2, s2):
+    def sup_m(d):
+      x1 = p1 + m1 @ sup1(s1, m1.T @ (-d))
+      x2 = p2 + m2 @ sup2(s2, m2.T @ d)
+      return x2 - x1, x1, x2
+
+    hit, depth, n_pen, pos_pen = _mpr_penetration(sup_m, p2 - p1)
+    d_sep, pos_sep, n_sep = _alternating_closest(
+        cl1, cl2, p1, m1, s1, p2, m2, s2)
+    dist = jnp.where(hit, -depth, d_sep)
+    pos = jnp.where(hit, pos_pen, pos_sep)
+    n = jnp.where(hit, n_pen, n_sep)
+    return [(dist, pos, n)]
+
+  return fn
+
+
 def narrowphase(m: Model, d: Data, pair: CandidatePair):
   """Contact points for one candidate pair: list of (dist, pos, n)."""
   g1, g2 = pair.g1, pair.g2
@@ -559,7 +840,7 @@ def narrowphase(m: Model, d: Data, pair: CandidatePair):
       return _capsule_ellipsoid(p1, m1, s1[0], s1[1], p2, m2, s2)
     if t2 == T.BOX:
       return _capsule_box(p1, m1, s1[0], s1[1], p2, m2, s2)
-  raise NotImplementedError(f"collision pair types ({t1}, {t2})")
+  return _convex_convex_fn(t1, t2)(p1, m1, s1, p2, m2, s2)
 
 
 # ---------------------------------------------------------------------------
@@ -821,7 +1102,10 @@ def _narrow_fn(t1: int, t2: int):
           lambda p1, m1, s1, p2, m2, s2: _capsule_box(
               p1, m1, s1[0], s1[1], p2, m2, s2),
   }
-  return table[(t1, t2)]
+  if (t1, t2) in table:
+    return table[(t1, t2)]
+  # generic convex pairs (ellipsoid/cylinder/box cross combinations)
+  return _convex_convex_fn(t1, t2)
 
 
 @dataclasses.dataclass(frozen=True)

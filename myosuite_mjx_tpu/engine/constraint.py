@@ -120,14 +120,21 @@ def _limit_spec(m: Model) -> _LimitSpec:
 def make_efc(m: Model, d: Data, contact_blocks: dict | None):
   """Assemble the dense constraint system.
 
-  Returns (J, aref, D, is_eq, pos) or None when no constraints can exist.
-  Row order: equality, joint limits, tendon limits, contacts.
+  Returns (J, aref, D, is_eq, pos, meta) or None when no constraints can
+  exist. Row order: equality, joint limits, tendon limits, contacts.
+  meta carries the joint-limit block layout for per-joint limit-force
+  diagnostics: {"jl_offset", "jl_dadr", "jl_sign"} (sign is the traced
+  nearest-side sign of each row, so sign * force is the signed dof force
+  — the quantity the reference reads back via mj_mulJacTVec for its pain
+  metric, run_track_v0.py:662-678).
   """
   dtype = d.qpos.dtype
   dsbl = m.opt.disableflags
   if dsbl & DSBL_CONSTRAINT:
     return None
   spec = _limit_spec(m)
+  meta = {"jl_offset": 0, "jl_dadr": spec.jl_dadr,
+          "jl_sign": jnp.zeros((len(spec.jl_dadr),), dtype)}
 
   Js, poss, invws, srs, sis, eqs = [], [], [], [], [], []
 
@@ -198,6 +205,8 @@ def make_efc(m: Model, d: Data, contact_blocks: dict | None):
       dist_hi = hi - q
       sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
       dist = jnp.minimum(dist_lo, dist_hi)
+      meta["jl_offset"] = sum(int(x.shape[0]) for x in Js)
+      meta["jl_sign"] = sign
       J = jnp.zeros((LJ, m.nv), dtype).at[np.arange(LJ),
                                           spec.jl_dadr].set(sign)
       Js.append(J)
@@ -251,4 +260,4 @@ def make_efc(m: Model, d: Data, contact_blocks: dict | None):
   D = 1.0 / r
   # inequality rows participate only while violated (pos < 0)
   D = jnp.where(is_eq | (pos < 0), D, 0.0)
-  return J, aref, D, is_eq, pos
+  return J, aref, D, is_eq, pos, meta

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from myosuite_mjx_tpu.engine.model import Model
@@ -166,7 +167,7 @@ def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
       qfrc_constraint=z(m.nv),
       contact=contact,
       contact_force=z(ncon),
-      efc_force_limit=z(0),
+      efc_force_limit=z(int(np.sum(m.jnt_limited))),
       ne_active=jnp.zeros((), jnp.int32),
       sensordata=z(m.nsensordata),
       overlay={},

@@ -360,6 +360,11 @@ def _mesh_hulls(mj: mujoco.MjModel, dtype) -> tuple[dict, dict]:
     if (int(mj.geom_type[g]) == int(mujoco.mjtGeom.mjGEOM_MESH)
         and (mj.geom_contype[g] or mj.geom_conaffinity[g])):
       needed.add(int(mj.geom_dataid[g]))
+  # explicit <pair> entries collide regardless of contype/conaffinity
+  for p in range(mj.npair):
+    for g in (int(mj.pair_geom1[p]), int(mj.pair_geom2[p])):
+      if int(mj.geom_type[g]) == int(mujoco.mjtGeom.mjGEOM_MESH):
+        needed.add(int(mj.geom_dataid[g]))
   if needed:
     from scipy.spatial import ConvexHull
     for mid in needed:

@@ -93,12 +93,17 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     return d.replace(
         qfrc_constraint=jnp.zeros_like(d.qfrc_smooth),
         qacc=d.qacc_smooth)
-  J, aref, D, is_eq, _pos = efc
+  J, aref, D, is_eq, _pos, meta = efc
   iterations = min(int(m.opt.solver_iterations), 30)
   ls_iterations = min(int(m.opt.ls_iterations), 25)
   qacc, force = _newton_solve(m, d, J, aref, D, is_eq,
                               iterations, ls_iterations)
   out = d.replace(qfrc_constraint=J.T @ force, qacc=qacc)
+  nl = len(meta["jl_dadr"])
+  if nl:
+    # signed per-limited-joint dof force (pain-metric diagnostic)
+    jl = force[meta["jl_offset"]:meta["jl_offset"] + nl]
+    out = out.replace(efc_force_limit=meta["jl_sign"] * jl)
   from myosuite_mjx_tpu.engine.model import DSBL_CONTACT
   if contact_info is not None and not (m.opt.disableflags & DSBL_CONTACT):
     # normal force per contact: pyramid rows have unit normal coefficient,

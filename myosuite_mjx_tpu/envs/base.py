@@ -94,6 +94,9 @@ class MyoEnv:
     self.init_qvel = np.zeros(m.nv)
     self._muscle_mask = np.asarray(
         m.actuator_dyntype == DynType.MUSCLE)
+    # policy action dimension; tasks with internally-controlled actuators
+    # (e.g. the OSL prosthesis torque motors) shrink this in _setup
+    self.action_dim = int(m.nu)
     if muscle_condition == "reafferentation":
       # EIP -> EPL tendon-transfer rerouting (base_v0.py:78-80, 105-109)
       self._epl = m.name2id("actuator", "EPL")

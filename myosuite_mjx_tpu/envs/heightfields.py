@@ -126,6 +126,99 @@ class TrackField:
     return out.at[:field.shape[0]].set(field).ravel()
 
 
+class ChallengeTrackField:
+  """MyoChallenge-2024 run-track terrain (reference TrackField,
+  heightfields.py:322-453), generated device-side per episode.
+
+  Faithful patch recipes: stairs = 3 ascending + 3 descending flats of the
+  per-patch difficulty height; hilly = one smooth sine bump normalized over
+  the patch; rough = uniform noise scaled by U(0, difficulty). Difficulty
+  schedules are reversed at construction because hfield row indexing runs
+  against the walking direction (heightfields.py:340-342). reset modes:
+  'flat', 'random' (one terrain type per episode), 'random_mixed' (random
+  type per patch). Terrain-type codes follow run_track_v0.py:24-30.
+  """
+
+  FLAT, HILLY, ROUGH, STAIRS, MIXED = 0, 1, 2, 3, 4
+
+  def __init__(self, nrow: int, ncol: int, rough_difficulties,
+               hills_difficulties, stairs_difficulties,
+               reset_type: str = "random"):
+    self.shape = (nrow, ncol)
+    self.rough_d = np.asarray(rough_difficulties[::-1], np.float64)
+    self.hills_d = np.asarray(hills_difficulties[::-1], np.float64)
+    self.stairs_d = np.asarray(stairs_difficulties[::-1], np.float64)
+    self.reset_type = reset_type
+
+  def _patch_bounds(self, n_patches: int):
+    nrow = self.shape[0]
+    starts = np.arange(0, nrow, nrow // n_patches)
+    return [(int(starts[i]), int(starts[i + 1]))
+            for i in range(len(starts) - 1)]
+
+  def _stairs_patch(self, lo, hi, h, dtype):
+    length = hi - lo
+    flat_len = length // 6
+    heights = jnp.concatenate([
+        jnp.full((flat_len,), lvl, dtype)
+        for lvl in (0.0, 1.0, 2.0, 3.0, 2.0, 1.0)])
+    heights = jnp.concatenate(
+        [heights, jnp.zeros((length - 6 * flat_len,), dtype)]) * h
+    return jnp.broadcast_to(heights[:, None], (length, self.shape[1]))
+
+  def _hilly_patch(self, lo, hi, scalar, dtype):
+    length = hi - lo
+    ncol = self.shape[1]
+    data = jnp.sin(jnp.linspace(0.0, jnp.pi, length * ncol, dtype=dtype))
+    data = (data - data.min()) / jnp.maximum(data.max() - data.min(), 1e-12)
+    return jnp.flip(data.reshape(length, ncol) * scalar, (0, 1))
+
+  def _rough_patch(self, rng, lo, hi, difficulty, dtype):
+    length = hi - lo
+    k1, k2 = jax.random.split(rng)
+    fill = jax.random.uniform(k1, (length, self.shape[1]), dtype, -1.0, 1.0)
+    fill = (fill - fill.min()) / jnp.maximum(fill.max() - fill.min(), 1e-12)
+    return fill * jax.random.uniform(k2, (), dtype, 0.0, difficulty)
+
+  def generate(self, rng: jax.Array, dtype=jnp.float32):
+    """(hfield_data overlay [nrow*ncol], terrain_type code)."""
+    nrow, ncol = self.shape
+    if self.reset_type == "flat":
+      return jnp.zeros((nrow * ncol,), dtype), jnp.asarray(self.FLAT,
+                                                           jnp.int32)
+    k_type, k_gen = jax.random.split(rng)
+    # per-patch fields for each of the three terrain programs
+    def full_field(kind: int, key) -> jax.Array:
+      d = (self.stairs_d, self.hills_d, self.rough_d)[kind]
+      out = jnp.zeros((nrow, ncol), dtype)
+      for i, (lo, hi) in enumerate(self._patch_bounds(len(d))):
+        key_i = jax.random.fold_in(key, i)
+        if kind == 0:
+          patch = self._stairs_patch(lo, hi, float(d[i]), dtype)
+        elif kind == 1:
+          patch = self._hilly_patch(lo, hi, float(d[i]), dtype)
+        else:
+          patch = self._rough_patch(key_i, lo, hi, float(d[i]), dtype)
+        out = out.at[lo:hi].set(patch)
+      return out
+
+    fields = jnp.stack([full_field(k, jax.random.fold_in(k_gen, k))
+                        for k in range(3)])
+    if self.reset_type == "random_mixed":
+      # random type per patch: blend the three full fields by patch mask
+      d = self.stairs_d
+      n = len(self._patch_bounds(len(d)))
+      picks = jax.random.randint(k_type, (n,), 0, 3)
+      out = jnp.zeros((nrow, ncol), dtype)
+      for i, (lo, hi) in enumerate(self._patch_bounds(len(d))):
+        out = out.at[lo:hi].set(fields[picks[i], lo:hi])
+      return out.ravel(), jnp.asarray(self.MIXED, jnp.int32)
+    pick = jax.random.randint(k_type, (), 0, 3)
+    type_code = jnp.asarray(
+        [self.STAIRS, self.HILLY, self.ROUGH], jnp.int32)[pick]
+    return fields[pick].ravel(), type_code
+
+
 def local_heightmap(hfield_data: jax.Array, nrow: int, ncol: int,
                     size_xy, xy: jax.Array, patch=(10, 10)) -> jax.Array:
   """Grid heightmap around world position ``xy`` (raycast-free lookup,

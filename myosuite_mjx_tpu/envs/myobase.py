@@ -285,6 +285,27 @@ register(
         frame_skip=5,
     ))
 
+# ---- SAR reorient family (myobase/__init__.py:638-686) ---------------------
+
+from myosuite_mjx_tpu.envs.reorient_sar import (  # noqa: E402
+    Geometries8Env, Geometries100Env, InDistributionEnv,
+    OutOfDistributionEnv)
+from myosuite_mjx_tpu.models.assets import sar_scene_xml  # noqa: E402
+
+for _id, _cls, _condim in [
+    ("myoHandReorient8-v0", Geometries8Env, 4),
+    ("myoHandReorient100-v0", Geometries100Env, 4),
+    ("myoHandReorientID-v0", InDistributionEnv, 3),
+    ("myoHandReorientOOD-v0", OutOfDistributionEnv, 3),
+]:
+  register(
+      _id, _cls, max_episode_steps=50,
+      kwargs=dict(
+          model_path=sar_scene_xml(condim=_condim),
+          normalize_act=True,
+          frame_skip=5,
+      ))
+
 # ---- muscle-condition variants (reference scheme, myobase/__init__.py:16-48)
 
 from myosuite_mjx_tpu.envs.registry import (  # noqa: E402

@@ -142,3 +142,47 @@ register(
         obj_mass_change=(-0.050, 0.050),
         obj_friction_change=(0.1, 0.001, 0.00002),
     ))
+
+# ---- OSL RunTrack (MyoChallenge 2024, myochallenge/__init__.py:57-184) -----
+
+from myosuite_mjx_tpu.envs.run_track import RunTrackEnv  # noqa: E402
+from myosuite_mjx_tpu.models.assets import osl_runtrack_xml  # noqa: E402
+
+# 24-patch difficulty ramp of the Random track (myochallenge/__init__.py:88)
+_ramp = ((0.0,) * 5
+         + tuple(x for i in range(8) for x in (0.03 * (i + 1), 0.0))[:-1]
+         + (0.0,) * 4)
+
+register(
+    "myoChallengeOslRunFixed-v0", RunTrackEnv, max_episode_steps=1000,
+    kwargs=dict(
+        model_path=osl_runtrack_xml(),
+        normalize_act=True,
+        reset_type="random",
+        terrain="flat",
+        hills_difficulties=(0.0, 0.1, 0.0, 0.5, 0.0, 0.8, 0.0, 1.0),
+        rough_difficulties=(0.0, 0.1, 0.0, 0.15, 0.0, 0.2, 0.0, 0.3),
+        stairs_difficulties=(0.0, 0.05, 0.0, 0.1, 0.0, 0.2, 0.0, 0.3),
+        end_pos=-15,
+        frame_skip=5,
+        start_pos=14,
+        init_pose_path=asset("envs/myo/assets/leg/sample_gait_cycle.csv"),
+        max_episode_steps=1000,
+    ))
+
+register(
+    "myoChallengeOslRunRandom-v0", RunTrackEnv, max_episode_steps=60000,
+    kwargs=dict(
+        model_path=osl_runtrack_xml(),
+        normalize_act=True,
+        reset_type="random",
+        terrain="random",
+        hills_difficulties=_ramp,
+        rough_difficulties=_ramp,
+        stairs_difficulties=_ramp,
+        end_pos=-45,
+        frame_skip=5,
+        start_pos=58,
+        init_pose_path=asset("envs/myo/assets/leg/sample_gait_cycle.csv"),
+        max_episode_steps=60000,
+    ))

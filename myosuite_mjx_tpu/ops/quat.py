@@ -238,6 +238,32 @@ def quat_to_euler(q: jax.Array) -> jax.Array:
   return mat_to_euler(quat_to_mat(q))
 
 
+def euler_intrinsic_to_quat(euler: jax.Array) -> jax.Array:
+  """Intrinsic roll-pitch-yaw -> quat (reference intrinsic_euler2quat,
+  /root/reference/myosuite/utils/quat_math.py:247-273)."""
+  hr, hp, hy = euler[..., 0] * 0.5, euler[..., 1] * 0.5, euler[..., 2] * 0.5
+  sr, cr = jnp.sin(hr), jnp.cos(hr)
+  sp, cp = jnp.sin(hp), jnp.cos(hp)
+  sy, cy = jnp.sin(hy), jnp.cos(hy)
+  return jnp.stack([
+      cr * cp * cy + sr * sp * sy,
+      sr * cp * cy - cr * sp * sy,
+      cr * sp * cy + sr * cp * sy,
+      cr * cp * sy - sr * sp * cy,
+  ], axis=-1)
+
+
+def quat_to_euler_intrinsic(q: jax.Array) -> jax.Array:
+  """Quat -> intrinsic roll-pitch-yaw (reference quat2euler_intrinsic,
+  /root/reference/myosuite/utils/quat_math.py:214-244; branchless pitch
+  saturation)."""
+  w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+  roll = jnp.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+  pitch = jnp.arcsin(jnp.clip(2 * (w * y - z * x), -1.0, 1.0))
+  yaw = jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+  return jnp.stack([roll, pitch, yaw], axis=-1)
+
+
 # --- small vector helpers used across the engine ---
 
 

@@ -86,7 +86,8 @@ class PPO:
   def __init__(self, env: MyoEnv, config: PPOConfig = PPOConfig()):
     self.env = env
     self.cfg = config
-    self.net = ActorCritic(act_dim=env.model.nu, hidden=config.hidden)
+    self.net = ActorCritic(act_dim=getattr(env, "action_dim", env.model.nu),
+                           hidden=config.hidden)
     self.tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adam(config.learning_rate),

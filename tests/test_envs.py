@@ -25,6 +25,8 @@ SWEEP += [
     "MyoHandAppleRandom-v0",
     "myoChallengeBaodingP2-v1",
     "myoChallengeDieReorientP1-v0",
+    "myoHandReorient8-v0",
+    "myoHandReorientOOD-v0",
 ]
 
 
@@ -36,7 +38,7 @@ def test_env_contract(env_id):
   assert st.obs.ndim == 1 and st.obs.size > 0
   assert np.isfinite(np.asarray(st.obs)).all()
 
-  act = jax.random.uniform(key, (env.model.nu,), minval=-1.0, maxval=1.0)
+  act = jax.random.uniform(key, (env.action_dim,), minval=-1.0, maxval=1.0)
   st2 = jax.jit(env.step)(st, act)
   assert np.isfinite(float(st2.reward))
   assert np.isfinite(np.asarray(st2.obs)).all()
@@ -68,7 +70,7 @@ def test_batched_matches_single():
     np.testing.assert_allclose(
         np.asarray(bs.obs[i]), np.asarray(single[i].obs), atol=1e-6)
 
-  acts = jax.random.uniform(jax.random.PRNGKey(1), (B, env.model.nu),
+  acts = jax.random.uniform(jax.random.PRNGKey(1), (B, env.action_dim),
                             minval=-1, maxval=1)
   bs2 = batched.step(bs, acts)
   for i in range(B):
@@ -81,7 +83,7 @@ def test_autoreset_on_horizon():
   env = envs.make("myoFingerPoseFixed-v0", horizon=3)
   st = env.reset(jax.random.PRNGKey(0))
   step = jax.jit(env.autoreset_step)
-  act = jnp.zeros(env.model.nu)
+  act = jnp.zeros(env.action_dim)
   seen = []
   for t in range(1, 8):
     st = step(st, act)

@@ -1,0 +1,85 @@
+"""SAR reorient family: task math parity + per-episode object physics.
+
+Reference semantics: /root/reference/myosuite/envs/myo/myobase/
+reorient_sar_v0.py (obs/reward at :115-173, per-episode geometry at
+:176-259 and the 100/ID/OOD tables).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myosuite_mjx_tpu import envs
+from myosuite_mjx_tpu.envs import sar_geometries as geo
+
+
+def test_tables_shapes():
+  for tabs, counts in [(geo.G8, 2), (geo.G100, 25)]:
+    assert len(tabs) == 4
+    for t in tabs:
+      assert t.shape == (counts, 3)
+  for tabs in (geo.ID, geo.OOD):
+    for t in tabs:
+      assert t.shape == (250, 3)
+
+
+def test_marker_offset_semantics():
+  # reference reset: caps -> 1.3*size[1]; ellipsoid -> size[2];
+  # cylinder -> size[1]; box -> size[2] (reorient_sar_v0.py:209-232)
+  from myosuite_mjx_tpu.envs.reorient_sar import SAREnvBase
+  s = jnp.array([0.013, 0.025, 0.040])
+  assert float(SAREnvBase._marker_off(jnp.asarray(0), s)) == pytest.approx(
+      1.3 * 0.025)
+  assert float(SAREnvBase._marker_off(jnp.asarray(1), s)) == pytest.approx(
+      0.040)
+  assert float(SAREnvBase._marker_off(jnp.asarray(2), s)) == pytest.approx(
+      0.025)
+  assert float(SAREnvBase._marker_off(jnp.asarray(3), s)) == pytest.approx(
+      0.040)
+
+
+def test_des_rot_matches_reference_formula():
+  env = envs.make("myoHandReorient8-v0")
+  st = env.reset(jax.random.PRNGKey(7))
+  aux = st.aux
+  # obj_des_rot must equal R(q_des) e_z * 2*off/0.07 with unit-norm scale
+  scale = float(aux["scale"])
+  des = np.asarray(aux["des_rot"])
+  assert np.linalg.norm(des) == pytest.approx(scale, rel=1e-5)
+  # obs_dict wiring: err_rot = obj_rot - des_rot
+  obs = env.get_obs_dict(st.data, aux)
+  np.testing.assert_allclose(
+      np.asarray(obs["obj_err_rot"]),
+      np.asarray(obs["obj_rot"]) - des, atol=1e-6)
+
+
+def test_overlay_sets_active_geom_only():
+  env = envs.make("myoHandReorient100-v0")
+  st = env.reset(jax.random.PRNGKey(1))
+  sizes = np.asarray(st.data.overlay["geom_size"])
+  t = int(st.aux["type_idx"])
+  active = env.obj_gids[t]
+  np.testing.assert_allclose(sizes[active], np.asarray(st.aux["size"]),
+                             atol=1e-7)
+  for i, g in enumerate(env.obj_gids):
+    if i != t:
+      np.testing.assert_allclose(sizes[g], 1e-5, atol=1e-8)
+  # mass overlay: Object = 1.2 kg (reorient_sar_v0.py:242)
+  assert float(st.data.overlay["body_mass"][env.obj_bid]) == pytest.approx(
+      1.2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_object_rests_in_palm(seed):
+  """Each object type must interact with the hand (not fall through)."""
+  env = envs.make("myoHandReorient8-v0")
+  st = env.reset(jax.random.PRNGKey(seed))
+  z0 = float(st.data.xpos[env.obj_bid][2])
+  step = jax.jit(env.step)
+  a = jnp.zeros((env.model.nu,))
+  for _ in range(25):
+    st = step(st, a)
+  z = float(st.data.xpos[env.obj_bid][2])
+  # 25 steps * 10 ms free fall would drop ~0.31 m; contact keeps it close
+  assert z0 - z < 0.08, f"object fell through palm: {z0} -> {z}"
+  assert np.isfinite(np.asarray(st.obs)).all()
