@@ -418,7 +418,8 @@ def tendon(m: Model, kin: dict, cdof: jax.Array):
       _, w0, w1, arclen = jax.vmap(
           lambda a0, a1, q, qm, r: fn(a0, a1, q, qm, r, None))(
               x0, x1, gp, gmt, radius)
-    ten_length = ten_length.at[g["tidx"]].add(arclen / g["div"])
+    ten_length = ten_length.at[g["tidx"]].add(
+        (arclen / g["div"]).astype(dtype))
     gb = m.geom_bodyid[g["geom"]]
     sb0 = m.site_bodyid[g["site0"]]
     sb1 = m.site_bodyid[g["site1"]]

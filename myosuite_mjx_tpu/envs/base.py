@@ -61,6 +61,7 @@ class MyoEnv:
                fatigue_reset_random: bool = False,
                **task_kwargs):
     self.model = model_mod.load_model(model_path, dtype=np.float64)
+    self.model_path = model_path
     self.muscle_condition = muscle_condition
     self.fatigue_reset_random = fatigue_reset_random
     if muscle_condition == "sarcopenia":
@@ -194,6 +195,24 @@ class MyoEnv:
     """Per-episode model-constant overrides (domain randomization):
     {"body_mass", "geom_size", "geom_friction"} -> full-size arrays."""
     return {}
+
+  def reset_to(self, qpos, qvel, rng: jax.Array,
+               aux: dict | None = None) -> EnvState:
+    """Restore an exact physics state (get_env_state/set_env_state parity,
+    reference env_base.py:643-705): reset with explicit qpos/qvel instead
+    of the task's initial-state distribution."""
+    rng, k_aux = jax.random.split(rng)
+    if aux is None:
+      aux = self.reset_aux(k_aux)
+    d = data_mod.make_data(self.model, dtype=self.dtype)
+    d = d.replace(qpos=jnp.asarray(qpos, self.dtype),
+                  qvel=jnp.asarray(qvel, self.dtype))
+    overlay = self.reset_overlay(rng, aux)
+    if overlay:
+      d = d.replace(overlay=overlay)
+    d = forward_mod.forward(self.model, d)
+    aux = self.post_reset_aux(d, aux, k_aux)
+    return self._mk_state(d, rng, aux, 0)
 
   def post_reset_aux(self, data: Data, aux: dict, rng: jax.Array) -> dict:
     """Task state that depends on the freshly-reset physics (e.g. targets

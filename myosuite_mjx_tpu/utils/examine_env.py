@@ -76,22 +76,9 @@ def rollout(env, policy, num_episodes, seed, render=None, camera=None):
 
 def render_video(env, qpos_frames, path, camera=None, fps=25):
   """Host-side offscreen render through the CPU MuJoCo twin (debug path)."""
-  import mujoco
-  from myosuite_mjx_tpu.engine import model as emodel
-  mj = emodel.load_mj_model(env_model_path(env))
-  renderer = mujoco.Renderer(mj, height=240, width=320)
-  d = mujoco.MjData(mj)
-  import imageio
-  with imageio.get_writer(path, fps=fps) as w:
-    for qpos in qpos_frames:
-      d.qpos[:] = qpos
-      mujoco.mj_forward(mj, d)
-      renderer.update_scene(d, camera=camera or -1)
-      w.append_data(renderer.render())
-
-
-def env_model_path(env):
-  return env.model  # placeholder (model path not retained); see envs
+  from myosuite_mjx_tpu.utils.render import render_qpos_frames
+  return render_qpos_frames(env.model_path, qpos_frames, path,
+                            camera=camera, fps=fps)
 
 
 def main():
