@@ -56,6 +56,7 @@ class MyoEnv:
                weighted_reward_keys: dict | None = None,
                normalize_act: bool = True,
                horizon: int = 100,
+               obs_noise: float = 0.0,
                dtype=jnp.float32,
                muscle_condition: str = "",
                fatigue_reset_random: bool = False,
@@ -71,6 +72,7 @@ class MyoEnv:
       gp[:, 2] = 0.5 * gp[:, 2]
       self.model = _dc.replace(self.model, actuator_gainprm=gp)
     self.dtype = dtype
+    self.obs_noise = float(obs_noise)
     self.frame_skip = frame_skip
     self.horizon = horizon
     self.normalize_act = normalize_act
@@ -153,10 +155,38 @@ class MyoEnv:
       return jnp.where(mask, sig, lin)
     return lin
 
+  def _observed_data(self, data: Data, key: jax.Array) -> Data:
+    """Noisy observed twin of the ground-truth physics.
+
+    Replaces the reference's dual-sim sensing path (Robot.get_sensors
+    noise, robot.py:452-504, written into sim_obsd + forward() via
+    sensor2sim, robot.py:573-598, consumed by get_obs, env_base.py:
+    392-417): uniform(-1, 1) * obs_noise is added to the qpos/qvel/act
+    sensors and the observed Data is rebuilt with one extra forward pass.
+    Zero-cost when obs_noise == 0 (this function is never traced)."""
+    kq, kv, ka = jax.random.split(key, 3)
+    s = jnp.asarray(self.obs_noise, data.qpos.dtype)
+    d = data.replace(
+        qpos=data.qpos + s * jax.random.uniform(
+            kq, data.qpos.shape, data.qpos.dtype, -1.0, 1.0),
+        qvel=data.qvel + s * jax.random.uniform(
+            kv, data.qvel.shape, data.qvel.dtype, -1.0, 1.0))
+    if self.model.na:
+      act = data.act + s * jax.random.uniform(
+          ka, data.act.shape, data.act.dtype, -1.0, 1.0)
+      d = d.replace(act=jnp.clip(act, 0.0, 1.0))
+    return forward_mod.forward(self.model, d)
+
   def _mk_state(self, data: Data, rng: jax.Array, aux: dict,
                 steps) -> EnvState:
-    obs_dict = self.get_obs_dict(data, aux)
-    rwd = self.get_reward_dict(obs_dict, data, aux)
+    if self.obs_noise:
+      rng, k_noise = jax.random.split(rng)
+      d_obs = self._observed_data(data, k_noise)
+    else:
+      d_obs = data
+    obs_dict = self.get_obs_dict(d_obs, aux)
+    # rewards from the observed dict, matching env_base.py:381-384
+    rwd = self.get_reward_dict(obs_dict, d_obs, aux)
     dense = sum(wt * rwd[key] for key, wt in self.rwd_keys_wt.items())
     return EnvState(
         data=data,

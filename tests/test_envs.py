@@ -102,3 +102,29 @@ def test_variant_registration():
   assert env.pose_thd == 0.1
   # base unchanged
   assert envs.make("myoFingerPoseFixed-v0").pose_thd == 0.35
+
+
+def test_obs_noise_observed_twin():
+  """obs_noise > 0 perturbs the observed sim (Robot.get_sensors noise +
+  sensor2sim reconstruction, robot.py:452-504, :573-598) while keeping
+  seeded determinism; obs_noise = 0 is the unchanged fast path."""
+  clean = envs.make("myoFingerPoseFixed-v0")
+  noisy = envs.make("myoFingerPoseFixed-v0", obs_noise=0.05)
+  k = jax.random.PRNGKey(7)
+  st_clean = clean.reset(k)
+  st_noisy = noisy.reset(k)
+  assert st_clean.obs.shape == st_noisy.obs.shape
+  diff = np.abs(np.asarray(st_noisy.obs) - np.asarray(st_clean.obs))
+  assert diff.max() > 1e-4          # noise actually applied
+  assert diff.max() < 1.0           # bounded by the scale
+
+  # seeded determinism through the noise path
+  st_noisy2 = noisy.reset(k)
+  np.testing.assert_allclose(np.asarray(st_noisy.obs),
+                             np.asarray(st_noisy2.obs))
+
+  # stepping keeps drawing fresh noise per step
+  act = jnp.zeros(noisy.action_dim)
+  s1 = jax.jit(noisy.step)(st_noisy, act)
+  s2 = jax.jit(noisy.step)(s1, act)
+  assert not np.allclose(np.asarray(s1.obs), np.asarray(s2.obs))
