@@ -30,7 +30,7 @@ from myosuite_mjx_tpu.engine.model import (
 
 
 def fwd_position(m: Model, d: Data) -> Data:
-  kin = smooth.kinematics(m, d.qpos, d.mocap_pos, d.mocap_quat)
+  kin = smooth.kinematics(m, d.qpos, d.mocap_pos, d.mocap_quat, d.overlay)
   subtree_com, cinert, cdof = smooth.com_pos(m, kin, d.overlay)
   ten_length, ten_J = tendon_mod.tendon(m, kin, cdof)
   if m.ntendon:
@@ -141,7 +141,12 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     bt = int(m.actuator_biastype[u])
     length = d.actuator_length[u]
     vel = d.actuator_velocity[u]
-    gp = jnp.asarray(m.actuator_gainprm[u, :9], dtype)
+    # actuator-gain DR overlay (SimRandomizer.randomize_actuators,
+    # physics/randomize.py:209-250)
+    if "actuator_gainprm" in d.overlay:
+      gp = jnp.asarray(d.overlay["actuator_gainprm"], dtype)[u, :9]
+    else:
+      gp = jnp.asarray(m.actuator_gainprm[u, :9], dtype)
     bp = jnp.asarray(m.actuator_biasprm[u, :9], dtype)
     lr = jnp.asarray(m.actuator_lengthrange[u], dtype)
     acc0 = jnp.asarray(m.actuator_acc0[u], dtype)
@@ -184,8 +189,13 @@ def fwd_passive(m: Model, d: Data) -> Data:
   if m.opt.disableflags & DSBL_PASSIVE:
     return d.replace(qfrc_passive=jnp.zeros((m.nv,), dtype))
 
-  # joint dampers
-  qfrc = -jnp.asarray(m.dof_damping, dtype) * d.qvel
+  # joint dampers (dof_damping DR overlay: SimRandomizer.randomize_dofs,
+  # physics/randomize.py:170-207)
+  if "dof_damping" in d.overlay:
+    damping = jnp.asarray(d.overlay["dof_damping"], dtype)
+  else:
+    damping = jnp.asarray(m.dof_damping, dtype)
+  qfrc = -damping * d.qvel
 
   # joint springs (hinge/slide dofs; ball/free springs unsupported for now)
   for j in range(m.njnt):
@@ -300,7 +310,11 @@ def euler(m: Model, d: Data) -> Data:
   dt = m.opt.timestep
   dtype = d.qpos.dtype
   qfrc = d.qfrc_smooth + d.qfrc_constraint
-  if float(abs(m.dof_damping).sum()) > 0:
+  if "dof_damping" in d.overlay:
+    damping = jnp.asarray(d.overlay["dof_damping"], dtype)
+    mhb = d.qM + dt * jnp.diag(damping)
+    qacc = jnp.linalg.solve(mhb, qfrc)
+  elif float(abs(m.dof_damping).sum()) > 0:
     mhb = d.qM + dt * jnp.diag(jnp.asarray(m.dof_damping, dtype))
     qacc = jnp.linalg.solve(mhb, qfrc)
   else:

@@ -75,9 +75,16 @@ def spatial_inertia(mass: jax.Array, inertia_diag: jax.Array,
 
 
 def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
-               mocap_quat: jax.Array):
-  """Body/joint/site/geom world poses. Mirrors mj_kinematics semantics."""
+               mocap_quat: jax.Array, overlay: dict | None = None):
+  """Body/joint/site/geom world poses. Mirrors mj_kinematics semantics.
+
+  ``overlay['body_pos']`` (nbody, 3) overrides local body offsets per
+  episode (SimRandomizer.randomize_bodies, physics/randomize.py:64-91).
+  """
   dtype = qpos.dtype
+  overlay_body_pos = None
+  if overlay and "body_pos" in overlay:
+    overlay_body_pos = jnp.asarray(overlay["body_pos"], dtype)
   xpos = [jnp.zeros(3, dtype)] * m.nbody
   xquat = [qmath.quat_identity(dtype=dtype)] * m.nbody
   xanchor = [jnp.zeros(3, dtype)] * max(m.njnt, 1)
@@ -85,7 +92,8 @@ def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
 
   for i in range(1, m.nbody):
     p = int(m.body_parentid[i])
-    body_pos = jnp.asarray(m.body_pos[i], dtype)
+    body_pos = (overlay_body_pos[i] if overlay_body_pos is not None
+                else jnp.asarray(m.body_pos[i], dtype))
     body_quat = jnp.asarray(m.body_quat[i], dtype)
     mid = int(m.body_mocapid[i])
     if mid >= 0:
