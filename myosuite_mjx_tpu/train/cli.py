@@ -1,0 +1,113 @@
+"""Training CLI: the reference's agents-harness entry point, one process.
+
+Capability parity with the reference's training launchers
+(/root/reference/myosuite/agents/train_myosuite.sh:1-50 env-list command
+generator, sb3_job_script.py:31-131 PPO/SAC job with checkpointing,
+hydra_sb3_launcher.py): select env + algorithm + hyperparameters from the
+command line, train fully on-device, checkpoint periodically, and resume.
+
+TPU-native shape: there are no subprocess vec-envs or per-env cluster
+jobs — one jitted train step over a vmapped env batch (optionally sharded
+over a device mesh with --mesh), so "one job per env/seed" collapses to a
+loop here or one flag per launch.
+
+Usage:
+  python -m myosuite_mjx_tpu.train.cli --env myoFingerPoseFixed-v0 \
+      --algo ppo --total-steps 1000000 --num-envs 256 \
+      --checkpoint-dir /tmp/ckpt --checkpoint-every 50
+  python -m myosuite_mjx_tpu.train.cli --env myoHandPose0Fixed-v0 \
+      --algo sac --total-steps 200000
+  python -m myosuite_mjx_tpu.train.cli --env ... --mesh data  # shard envs
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+  ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+  ap.add_argument("--env", required=True, help="registered task ID")
+  ap.add_argument("--algo", default="ppo", choices=("ppo", "sac"))
+  ap.add_argument("--total-steps", type=int, default=1_000_000)
+  ap.add_argument("--seed", type=int, default=0)
+  ap.add_argument("--num-envs", type=int, default=None,
+                  help="override the algorithm default")
+  ap.add_argument("--learning-rate", type=float, default=None)
+  ap.add_argument("--hidden", type=str, default=None,
+                  help="comma-separated layer widths, e.g. 256,128")
+  ap.add_argument("--mesh", default=None, choices=(None, "data"),
+                  help="shard envs over all local devices on a data mesh")
+  ap.add_argument("--checkpoint-dir", default=None)
+  ap.add_argument("--checkpoint-every", type=int, default=100,
+                  help="iterations between checkpoints")
+  ap.add_argument("--resume", default=None,
+                  help="checkpoint path to resume from")
+  ap.add_argument("--log-every", type=int, default=10)
+  return ap
+
+
+def main(argv=None):
+  args = build_parser().parse_args(argv)
+  import jax
+
+  from myosuite_mjx_tpu import envs
+  from myosuite_mjx_tpu.train import checkpoint
+
+  env = envs.make(args.env)
+
+  overrides = {}
+  if args.num_envs is not None:
+    overrides["num_envs"] = args.num_envs
+  if args.learning_rate is not None:
+    overrides["learning_rate"] = args.learning_rate
+  if args.hidden is not None:
+    overrides["hidden"] = tuple(int(x) for x in args.hidden.split(","))
+
+  if args.algo == "ppo":
+    from myosuite_mjx_tpu.train.ppo import PPO, PPOConfig
+    cfg = PPOConfig(**overrides)
+    learner = PPO(env, cfg)
+    per_iter = cfg.unroll_length * cfg.num_envs
+  else:
+    from myosuite_mjx_tpu.train.sac import SAC, SACConfig
+    cfg = SACConfig(**overrides)
+    learner = SAC(env, cfg)
+    per_iter = cfg.num_envs
+
+  if args.mesh == "data":
+    from myosuite_mjx_tpu.parallel import mesh as pmesh
+    if args.algo != "ppo":
+      raise SystemExit("--mesh currently supports --algo ppo")
+    learner = pmesh.ShardedPPO(learner, pmesh.data_mesh(jax.devices()))
+
+  ts = learner.init(args.seed)
+  if args.resume:
+    ts = checkpoint.restore(args.resume, ts)
+    print(f"resumed from {args.resume}")
+
+  step_fn = jax.jit(learner.train_step)
+  iters = max(1, args.total_steps // per_iter)
+  t0 = time.time()
+  for it in range(iters):
+    ts, metrics = step_fn(ts)
+    if (it + 1) % args.log_every == 0 or it == iters - 1:
+      metrics = {k: float(v) for k, v in metrics.items()}
+      wall = time.time() - t0
+      print(json.dumps({
+          "iter": it + 1,
+          "env_steps": (it + 1) * per_iter,
+          "steps_per_s": round((it + 1) * per_iter / wall, 1),
+          **{k: round(v, 5) for k, v in metrics.items()},
+      }), flush=True)
+    if args.checkpoint_dir and ((it + 1) % args.checkpoint_every == 0
+                                or it == iters - 1):
+      path = os.path.join(args.checkpoint_dir, f"iter_{it + 1:07d}")
+      checkpoint.save(path, ts)
+  return ts
+
+
+if __name__ == "__main__":
+  main()
