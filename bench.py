@@ -4,6 +4,12 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline = the north-star 1M aggregate env-steps/s target from BASELINE.md
 (the reference publishes no hardware numbers of its own).
 
+Methodology: one jitted vmapped physics step, dependency-chained K times
+(state feeds state, so all K executions are serialized on-device); wall
+clock over the chain / (B*K). A lax.scan wrapper would measure the same
+thing but costs >10 min of XLA compile on the 39-muscle hand graph, so
+the chain keeps compile ~1-2 min and the driver inside its budget.
+
 Run: python bench.py [--model finger|hand] [--batch N] [--steps K]
 """
 import argparse
@@ -34,7 +40,7 @@ BASELINE_STEPS_PER_S = 1_000_000.0  # BASELINE.md north star (aggregate)
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--model", default="hand", choices=sorted(MODELS))
-  ap.add_argument("--batch", type=int, default=1024)
+  ap.add_argument("--batch", type=int, default=4096)
   ap.add_argument("--steps", type=int, default=100)
   args = ap.parse_args()
 
@@ -43,31 +49,37 @@ def main():
 
   with jax.default_device(jax.local_devices(backend="cpu")[0]):
     d0 = edata.make_data(m, dtype=jnp.float32)
+  batch0 = jax.device_put(
+      jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d0),
+      jax.devices()[0])
 
-  def rollout(d):
-    batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d)
-    step = jax.vmap(functools.partial(forward.step, m))
+  # f32 matmul precision: the Newton/implicit-damping dense solves NaN at
+  # the TPU MXU's default bf16 pass precision
+  vstep = jax.vmap(functools.partial(forward.step, m))
 
-    def body(dd, _):
-      return step(dd), ()
-
+  def _step(d):
     with jax.default_matmul_precision("highest"):
-      out, _ = jax.lax.scan(body, batch, (), length=K)
-    return out
+      return vstep(d)
 
-  f = jax.jit(rollout)
-  out = f(d0)
+  step = jax.jit(_step)
+
+  # compile + settle into contact-rich steady state
+  out = step(batch0)
+  for _ in range(5):
+    out = step(out)
   jax.block_until_ready(out.qpos)
-  q = np.asarray(out.qpos)
-  assert not np.isnan(q).any(), "NaN in benchmark rollout"
+  assert not np.isnan(np.asarray(out.qpos)).any(), "NaN in warmup rollout"
 
-  # steady-state: restart from the same d0 (compiled program reuse)
+  # timed: K dependency-chained steps (state feeds state)
   times = []
   for _ in range(3):
     t0 = time.time()
-    out = f(d0)
-    jax.block_until_ready(out.qpos)
+    cur = out
+    for _ in range(K):
+      cur = step(cur)
+    jax.block_until_ready(cur.qpos)
     times.append(time.time() - t0)
+  assert not np.isnan(np.asarray(cur.qpos)).any(), "NaN in benchmark rollout"
   dt = min(times)
   sps = B * K / dt
   print(json.dumps({
