@@ -343,29 +343,40 @@ def _ellipsoid_surface_point(p: jax.Array, radii: jax.Array):
   """Exact closest point on an axis-aligned ellipsoid to local point p.
 
   Solves the KKT condition x_i = a_i^2 p_i / (a_i^2 + mu) with
-  sum (x_i/a_i)^2 = 1 by bisection on mu (g is monotone on the bracket),
-  valid for points outside (mu > 0) and inside (-a_min^2 < mu < 0).
+  sum (x_i/a_i)^2 = 1 by Newton on g(mu) = sum a_i^2 p_i^2/(a_i^2+mu)^2 - 1,
+  valid for points outside (mu > 0) and inside (-a_min^2 < mu < 0). g is
+  decreasing and convex on (-a_min^2, inf), so Newton started left of the
+  root (any mu with g >= 0) converges monotonically and quadratically —
+  ~6 iterations to machine precision vs ~80 bisections.
   Returns (surface point, outward unit normal, signed distance).
   """
   a2 = radii * radii
   amin2 = jnp.min(a2)
-  amax = jnp.max(radii)
 
-  def g(mu):
-    x = a2 * p / (a2 + mu)
-    return jnp.sum((x / radii) ** 2) - 1.0
+  def g_and_dg(mu):
+    den = a2 + mu
+    t = a2 * p * p / (den * den)
+    return jnp.sum(t) - 1.0, jnp.sum(-2.0 * t / den)
 
-  lo = -amin2 * (1.0 - 1e-9)
-  hi = amax * jnp.linalg.norm(p) + jnp.max(a2) + 1e-6
+  # certified left-of-root start: per-axis bound mu >= a_i |p_i| - a_i^2
+  lo = -amin2 * (1.0 - 1e-12)
+  mu0 = jnp.maximum(jnp.max(radii * jnp.abs(p) - a2), lo)
 
-  def body(_, carry):
-    lo, hi = carry
-    mid = 0.5 * (lo + hi)
-    pos = g(mid) > 0
-    return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+  def body(carry):
+    mu, _, it = carry
+    gv, dg = g_and_dg(mu)
+    mu_n = mu - gv / jnp.minimum(dg, -_MINVAL)
+    mu_n = jnp.maximum(mu_n, lo)     # stay in the valid domain
+    return mu_n, gv, it + 1
 
-  lo, hi = jax.lax.fori_loop(0, 80, body, (lo, hi))
-  mu = 0.5 * (lo + hi)
+  gtol = 8.0 * jnp.finfo(p.dtype).eps
+
+  def cond(carry):
+    _, gv, it = carry
+    return (jnp.abs(gv) > gtol) & (it < 30)
+
+  mu, _, _ = jax.lax.while_loop(
+      cond, body, (mu0, jnp.ones((), p.dtype), jnp.zeros((), jnp.int32)))
   x = a2 * p / (a2 + mu)
   grad = x / a2
   n = grad / jnp.maximum(jnp.linalg.norm(grad), _MINVAL)
@@ -386,31 +397,55 @@ def _sphere_ellipsoid(c1, r1, gpos, gmat, radii):
   return [(dist, pos, n)]
 
 
+def _seg_surface_argmin(a_l, b_l, surf_fn, iters=14):
+  """t in [0, 1] minimizing the signed distance f(t) of the segment point
+  a_l + t*(b_l - a_l) to a convex surface.
+
+  f is convex (signed distance to a convex set) and, by the envelope
+  theorem, f'(t) = n(p(t)) . (b_l - a_l) where n is the surface-point
+  map's outward normal — so the minimizer is a 1D root-find on the
+  nondecreasing f'. Safeguarded secant (bisection every other iteration
+  guarantees bracket halving) needs ~2+iters normal evaluations, vs ~80
+  distance evaluations for golden section at equal accuracy.
+  """
+  dtype = a_l.dtype
+  seg = b_l - a_l
+
+  def fp(t):
+    _, n, _ = surf_fn(a_l + t * seg)
+    return jnp.dot(n, seg)
+
+  f0 = fp(jnp.zeros((), dtype))
+  f1 = fp(jnp.ones((), dtype))
+
+  def body(i, c):
+    lo, flo, hi, fhi = c
+    denom = fhi - flo
+    sec = hi - fhi * (hi - lo) / jnp.where(
+        jnp.abs(denom) < _MINVAL, jnp.inf, denom)
+    mid = 0.5 * (lo + hi)
+    use_sec = (i % 2 == 1) & (sec > lo) & (sec < hi)
+    s = jnp.where(use_sec, sec, mid)
+    fs = fp(s)
+    neg = fs < 0
+    return (jnp.where(neg, s, lo), jnp.where(neg, fs, flo),
+            jnp.where(neg, hi, s), jnp.where(neg, fhi, fs))
+
+  lo, flo, hi, fhi = jax.lax.fori_loop(
+      0, iters, body,
+      (jnp.zeros((), dtype), f0, jnp.ones((), dtype), f1))
+  t_root = jnp.where(jnp.abs(flo) < jnp.abs(fhi), lo, hi)
+  return jnp.where(f0 >= 0, 0.0, jnp.where(f1 <= 0, 1.0, t_root))
+
+
 def _capsule_ellipsoid(gpos1, gmat1, r1, h1, gpos2, gmat2, radii):
-  """Exact-ish: golden-section over the capsule axis of the exact
-  point-ellipsoid distance (convex along the segment when separated)."""
+  """Exact: 1D convex minimization over the capsule axis of the exact
+  point-ellipsoid signed distance (see _seg_surface_argmin)."""
   a, b = _capsule_ends(gpos1, gmat1, h1)
   a_l = gmat2.T @ (a - gpos2)
   b_l = gmat2.T @ (b - gpos2)
-
-  def f(t):
-    p = a_l + t * (b_l - a_l)
-    _, _, dist = _ellipsoid_surface_point(p, radii)
-    return dist
-
-  gr = 0.6180339887498949
-  lo = jnp.zeros((), a_l.dtype)
-  hi = jnp.ones((), a_l.dtype)
-
-  def body(_, carry):
-    lo, hi = carry
-    m1 = hi - gr * (hi - lo)
-    m2 = lo + gr * (hi - lo)
-    left = f(m1) < f(m2)
-    return jnp.where(left, lo, m1), jnp.where(left, m2, hi)
-
-  lo, hi = jax.lax.fori_loop(0, 40, body, (lo, hi))
-  t = 0.5 * (lo + hi)
+  t = _seg_surface_argmin(
+      a_l, b_l, lambda p: _ellipsoid_surface_point(p, radii))
   p = a + t * (b - a)
   return _sphere_ellipsoid(p, r1, gpos2, gmat2, radii)
 
@@ -467,28 +502,13 @@ def _sphere_cylinder(c1, r1, gpos, gmat, r2, h2):
 
 
 def _capsule_cylinder(gpos1, gmat1, r1, h1, gpos2, gmat2, r2, h2):
-  """Golden-section over the capsule axis of the point-cylinder distance."""
+  """1D convex minimization over the capsule axis of the point-cylinder
+  signed distance (see _seg_surface_argmin)."""
   a, b = _capsule_ends(gpos1, gmat1, h1)
   a_l = gmat2.T @ (a - gpos2)
   b_l = gmat2.T @ (b - gpos2)
-
-  def f(t):
-    _, _, dist = _cylinder_surface_point(a_l + t * (b_l - a_l), r2, h2)
-    return dist
-
-  gr = 0.6180339887498949
-  lo = jnp.zeros((), a_l.dtype)
-  hi = jnp.ones((), a_l.dtype)
-
-  def body(_, carry):
-    lo, hi = carry
-    m1 = hi - gr * (hi - lo)
-    m2 = lo + gr * (hi - lo)
-    left = f(m1) < f(m2)
-    return jnp.where(left, lo, m1), jnp.where(left, m2, hi)
-
-  lo, hi = jax.lax.fori_loop(0, 36, body, (lo, hi))
-  t = 0.5 * (lo + hi)
+  t = _seg_surface_argmin(
+      a_l, b_l, lambda p: _cylinder_surface_point(p, r2, h2))
   p = a + t * (b - a)
   return _sphere_cylinder(p, r1, gpos2, gmat2, r2, h2)
 

@@ -42,6 +42,7 @@ class Data:
   act: jax.Array         # (na,)
   ctrl: jax.Array        # (nu,)
   qacc: jax.Array        # (nv,)
+  qacc_warmstart: jax.Array  # (nv,) previous step's solution (mjData parity)
   act_dot: jax.Array     # (na,)
   qfrc_applied: jax.Array   # (nv,)
   xfrc_applied: jax.Array   # (nbody, 6)
@@ -128,6 +129,7 @@ def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
       act=z(m.na),
       ctrl=z(m.nu),
       qacc=z(m.nv),
+      qacc_warmstart=z(m.nv),
       act_dot=z(m.na),
       qfrc_applied=z(m.nv),
       xfrc_applied=z(m.nbody, 6),

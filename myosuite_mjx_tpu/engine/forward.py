@@ -147,7 +147,10 @@ def fwd_actuation(m: Model, d: Data) -> Data:
       gp = jnp.asarray(d.overlay["actuator_gainprm"], dtype)[u, :9]
     else:
       gp = jnp.asarray(m.actuator_gainprm[u, :9], dtype)
-    bp = jnp.asarray(m.actuator_biasprm[u, :9], dtype)
+    if "actuator_biasprm" in d.overlay:
+      bp = jnp.asarray(d.overlay["actuator_biasprm"], dtype)[u, :9]
+    else:
+      bp = jnp.asarray(m.actuator_biasprm[u, :9], dtype)
     lr = jnp.asarray(m.actuator_lengthrange[u], dtype)
     acc0 = jnp.asarray(m.actuator_acc0[u], dtype)
     if gt == GainType.FIXED:

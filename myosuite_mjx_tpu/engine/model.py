@@ -144,6 +144,7 @@ class Option:
   disableflags: int
   density: float
   viscosity: float
+  meaninertia: float = 1.0   # mjStatistic.meaninertia (solver cost scaling)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -429,6 +430,7 @@ def from_mj(mj: mujoco.MjModel, dtype=np.float64) -> Model:
       disableflags=int(mj.opt.disableflags),
       density=float(mj.opt.density),
       viscosity=float(mj.opt.viscosity),
+      meaninertia=float(mj.stat.meaninertia),
   )
 
   return Model(

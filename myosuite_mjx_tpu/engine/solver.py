@@ -1,4 +1,4 @@
-"""Constraint solver: primal Newton with exact-ish line search.
+"""Constraint solver: primal Newton with exact piecewise-quadratic line search.
 
 Minimizes MuJoCo's convex primal objective over accelerations
 
@@ -9,7 +9,21 @@ where inequality rows are active only while accelerating into the
 constraint (jar < 0). Matches the reference's solver configuration space
 (mjSOL_NEWTON, iterations, ls_iterations —
 /root/reference/myosuite/mjx/myodm_v0.py:38-41) with TPU-friendly structure:
-fixed-shape dense rows, fixed iteration counts, masked early-exit.
+fixed-shape dense rows, batch-uniform control flow.
+
+Speed-of-light choices (all batch-uniform under vmap):
+* warm start from the previous step's qacc (``Data.qacc_warmstart``,
+  MuJoCo mj_forward semantics) — picks the cheaper of {warmstart,
+  qacc_smooth} by primal cost, so Newton usually starts within one
+  basin-hop of the optimum;
+* Newton loop is a ``lax.while_loop`` with MuJoCo's scaled termination
+  (improvement / gradient < opt.tolerance, scale = 1/(meaninertia * nv)),
+  capped at the model-requested opt.iterations — no silent fidelity cap;
+  under vmap the batch exits when its slowest member converges;
+* the 1D line search solves phi'(alpha) = 0 exactly: phi is piecewise
+  quadratic in alpha, so a bracketed 1D Newton (bisection-safeguarded)
+  converges in a handful of evaluations instead of a fixed
+  16-expand + 25-bisect schedule.
 
 The Hessian M + J' diag(w) J is dense [nv, nv] (nv <= ~40 for Myo models)
 — batched Cholesky factorizations map well onto the MXU under vmap.
@@ -29,21 +43,27 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
   qM = d.qM
   x0 = d.qacc_smooth
   dtype = x0.dtype
+  # MuJoCo terminates when scale*(cost_prev - cost) < tolerance with
+  # scale = 1/(meaninertia * max(1, nv)); fold the scale into the bound
+  tol = jnp.asarray(
+      m.opt.tolerance * max(m.opt.meaninertia, 1e-12) * max(m.nv, 1), dtype)
+  ls_tol = jnp.asarray(m.opt.ls_tolerance, dtype)
 
   def weights(jar):
     active = is_eq | (jar < 0)
     return D * active
 
-  def cost_grad_hess(qacc):
+  def cost(qacc):
     jar = J @ qacc - aref
     w = weights(jar)
     dx = qacc - x0
-    mdx = qM @ dx
-    grad = mdx + J.T @ (w * jar)
-    return jar, w, grad
+    return 0.5 * (dx @ (qM @ dx) + jnp.sum(w * jar * jar))
+
+  def grad_at(qacc, jar, w):
+    return qM @ (qacc - x0) + J.T @ (w * jar)
 
   def linesearch(qacc, p, jar):
-    """1D exact-ish minimization of the piecewise-quadratic along p."""
+    """Exact-ish 1D minimization of the piecewise-quadratic along p."""
     jp = J @ p
     mp = qM @ p
     pmx = p @ (qM @ (qacc - x0))
@@ -54,30 +74,82 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
       w = weights(jar_a)
       return pmx + alpha * pmp + jnp.sum(w * jar_a * jp)
 
-    # bracket: phi' is increasing; expand alpha_hi until positive slope
-    def expand(_, hi):
-      return jnp.where(dphi(hi) < 0, hi * 2.0, hi)
-    hi = jax.lax.fori_loop(0, 16, expand, jnp.asarray(1.0, dtype))
-    lo = jnp.zeros((), dtype)
+    def ddphi(alpha):
+      jar_a = jar + alpha * jp
+      w = weights(jar_a)
+      return pmp + jnp.sum(w * jp * jp)
 
-    def bisect(_, carry):
-      lo, hi = carry
+    # initial guess: unconstrained-quadratic minimizer along p
+    a0 = -dphi(jnp.zeros((), dtype)) / ddphi(jnp.zeros((), dtype))
+    a0 = jnp.maximum(a0, jnp.asarray(1e-10, dtype))
+    df0 = dphi(a0)
+
+    # bracket [lo, hi] with dphi(lo) <= 0 <= dphi(hi): phi' is monotone
+    # nondecreasing (phi convex); expand hi by 4x only while needed
+    def exp_cond(carry):
+      hi, df, it = carry
+      return (df < 0) & (it < 8)
+
+    def exp_body(carry):
+      hi, _, it = carry
+      hi = hi * 4.0
+      return hi, dphi(hi), it + 1
+
+    hi, _, _ = jax.lax.while_loop(
+        exp_cond, exp_body, (a0, df0, jnp.zeros((), jnp.int32)))
+    lo = jnp.where(df0 < 0, a0, jnp.zeros((), dtype))
+    hi = jnp.where(df0 < 0, hi, a0)
+
+    # safeguarded 1D Newton on phi' (bisection fallback keeps the bracket)
+    def body(carry):
+      lo, hi, alpha, df, it = carry
+      step = alpha - df / jnp.maximum(ddphi(alpha), 1e-15)
       mid = 0.5 * (lo + hi)
-      pos = dphi(mid) > 0
-      return jnp.where(pos, lo, mid), jnp.where(pos, mid, hi)
-    lo, hi = jax.lax.fori_loop(0, ls_iterations, bisect, (lo, hi))
-    return 0.5 * (lo + hi)
+      nxt = jnp.where((step > lo) & (step < hi), step, mid)
+      dfn = dphi(nxt)
+      lo = jnp.where(dfn < 0, nxt, lo)
+      hi = jnp.where(dfn < 0, hi, nxt)
+      return lo, hi, nxt, dfn, it + 1
 
-  def body(_, qacc):
-    jar, w, grad = cost_grad_hess(qacc)
+    def cond(carry):
+      _, _, _, df, it = carry
+      return (it < ls_iterations) & (jnp.abs(df) > ls_tol * pmp)
+
+    _, _, alpha, _, _ = jax.lax.while_loop(
+        cond, body, (lo, hi, a0, df0, jnp.zeros((), jnp.int32)))
+    return alpha
+
+  # ---- warm start: cheaper of {previous solution, smooth acceleration} ----
+  ws = d.qacc_warmstart
+  start = jnp.where(cost(ws) < cost(x0), ws, x0)
+
+  def nt_cond(carry):
+    qacc, prev_cost, improvement, it = carry
+    return (it < iterations) & (improvement > tol)
+
+  def nt_body(carry):
+    qacc, prev_cost, _, it = carry
+    jar = J @ qacc - aref
+    w = weights(jar)
+    grad = grad_at(qacc, jar, w)
     H = qM + (J.T * w) @ J
     L = jnp.linalg.cholesky(H)
     p = -jax.scipy.linalg.cho_solve((L, True), grad[:, None])[:, 0]
     alpha = linesearch(qacc, p, jar)
     improved = jnp.dot(grad, p) < -1e-16
-    return jnp.where(improved, qacc + alpha * p, qacc)
+    qacc_new = jnp.where(improved, qacc + alpha * p, qacc)
+    new_cost = cost(qacc_new)
+    improvement = prev_cost - new_cost
+    take = improvement > 0
+    return (jnp.where(take, qacc_new, qacc),
+            jnp.where(take, new_cost, prev_cost),
+            improvement,
+            it + 1)
 
-  qacc = jax.lax.fori_loop(0, iterations, body, x0)
+  c0 = cost(start)
+  qacc, _, _, _ = jax.lax.while_loop(
+      nt_cond, nt_body,
+      (start, c0, jnp.full((), jnp.inf, dtype), jnp.zeros((), jnp.int32)))
   jar = J @ qacc - aref
   w = weights(jar)
   force = -w * jar
@@ -92,13 +164,15 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   if efc is None:
     return d.replace(
         qfrc_constraint=jnp.zeros_like(d.qfrc_smooth),
-        qacc=d.qacc_smooth)
+        qacc=d.qacc_smooth,
+        qacc_warmstart=d.qacc_smooth)
   J, aref, D, is_eq, _pos, meta = efc
-  iterations = min(int(m.opt.solver_iterations), 30)
-  ls_iterations = min(int(m.opt.ls_iterations), 25)
+  iterations = int(m.opt.solver_iterations)
+  ls_iterations = int(m.opt.ls_iterations)
   qacc, force = _newton_solve(m, d, J, aref, D, is_eq,
                               iterations, ls_iterations)
-  out = d.replace(qfrc_constraint=J.T @ force, qacc=qacc)
+  out = d.replace(qfrc_constraint=J.T @ force, qacc=qacc,
+                  qacc_warmstart=qacc)
   nl = len(meta["jl_dadr"])
   if nl:
     # signed per-limited-joint dof force (pain-metric diagnostic)

@@ -199,6 +199,11 @@ class MyoEnv:
             rwd_dense=jnp.asarray(dense, self.dtype),
             rwd_sparse=jnp.asarray(rwd["sparse"], self.dtype),
             solved=jnp.asarray(rwd["solved"], bool),
+            # episode-boundary flags; autoreset_step overwrites these with
+            # the pre-reset values (kept here so pytree structure is stable
+            # across reset/step for lax.scan carries)
+            terminated=jnp.asarray(rwd["done"], bool),
+            truncated=jnp.zeros((), bool),
         ),
         aux=aux)
 
@@ -283,14 +288,25 @@ class MyoEnv:
     return state.steps >= self.horizon
 
   def autoreset_step(self, state: EnvState, action: jax.Array) -> EnvState:
-    """step() with brax-style auto-reset on done | horizon."""
+    """step() with brax-style auto-reset on done | horizon.
+
+    The returned state carries the *pre-reset* episode-boundary flags
+    (``done`` plus ``info["terminated"]``/``info["truncated"]``) so RL
+    consumers see episode ends, brax-AutoResetWrapper-style; the physics
+    state, obs, and steps counter are already those of the fresh episode.
+    """
     nxt = self.step(state, action)
     rng, k = jax.random.split(nxt.rng)
     fresh = self.reset(k)
     fresh = fresh.replace(rng=rng)
-    restart = nxt.done | self.truncated(nxt)
+    terminated = nxt.done
+    truncated = self.truncated(nxt) & ~terminated
+    restart = terminated | truncated
     # unbatched env => restart is a scalar and broadcasts over every leaf
-    return jax.tree.map(lambda a, b: jnp.where(restart, a, b), fresh, nxt)
+    out = jax.tree.map(lambda a, b: jnp.where(restart, a, b), fresh, nxt)
+    return out.replace(
+        done=terminated,
+        info={**out.info, "terminated": terminated, "truncated": truncated})
 
 
 class BatchedEnv:

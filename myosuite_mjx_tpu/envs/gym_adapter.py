@@ -96,23 +96,38 @@ class GymVecEnv:
     self._benv = BatchedEnv(env, num_envs)
     self._env = env
     self.num_envs = num_envs
-    self._seed = seed
+    self._rng = jax.random.PRNGKey(seed)
     self._state = None
+    obs_dim = None
     if gym_spaces is not None:
+      obs_dim = int(jax.eval_shape(
+          env.reset, jax.random.PRNGKey(0)).obs.shape[0])
       self.single_action_space = gym_spaces.Box(
           low=-1.0, high=1.0, shape=(env.action_dim,), dtype=np.float32)
+      self.single_observation_space = gym_spaces.Box(
+          low=-np.inf, high=np.inf, shape=(obs_dim,), dtype=np.float32)
+      self.action_space = gym_spaces.Box(
+          low=-1.0, high=1.0, shape=(num_envs, env.action_dim),
+          dtype=np.float32)
+      self.observation_space = gym_spaces.Box(
+          low=-np.inf, high=np.inf, shape=(num_envs, obs_dim),
+          dtype=np.float32)
 
   def reset(self, *, seed: int | None = None):
     if seed is not None:
-      self._seed = seed
-    self._state = self._benv.init(self._seed)
+      self._rng = jax.random.PRNGKey(seed)
+    self._rng, k = jax.random.split(self._rng)
+    keys = jax.random.split(k, self.num_envs)
+    self._state = self._benv.reset(keys)
     return np.asarray(self._state.obs), {}
 
   def step(self, actions):
     st = self._benv.step(self._state, jnp.asarray(actions))
     self._state = st
-    done = np.asarray(st.done)
-    trunc = np.asarray(st.steps) >= self._env.horizon
+    # pre-autoreset episode-boundary flags (MyoEnv.autoreset_step preserves
+    # them; obs/physics are already the fresh episode's)
+    done = np.asarray(st.info["terminated"])
+    trunc = np.asarray(st.info["truncated"])
     return (np.asarray(st.obs), np.asarray(st.reward), done, trunc,
             {k: np.asarray(v) for k, v in st.info.items()})
 

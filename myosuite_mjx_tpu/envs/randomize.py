@@ -73,15 +73,25 @@ def sample_overlay(key: jax.Array, model, spec: RandomizeSpec,
     lo, hi = spec.actuator_gain
     import numpy as np
     gp = jnp.asarray(model.actuator_gainprm, dtype)
+    bp = jnp.asarray(model.actuator_biasprm, dtype)
     s = jax.random.uniform(keys[5], (gp.shape[0],), dtype, lo, hi)
     # scale the force-producing parameter only: FLV peak force at
     # gainprm[2] for muscle actuators, kp/gain at gainprm[0] otherwise
     # (randomize.py:240-250 sets gainprm[:, 0]; MuJoCo muscle gain layout
     # puts F_max at prm[2] — curve shape parameters stay nominal)
-    from myosuite_mjx_tpu.engine.model import GainType
-    col = np.where(
-        np.asarray(model.actuator_gaintype) == GainType.MUSCLE, 2, 0)
+    from myosuite_mjx_tpu.engine.model import BiasType, GainType
+    is_muscle = np.asarray(model.actuator_gaintype) == GainType.MUSCLE
+    col = np.where(is_muscle, 2, 0)
     rows = np.arange(gp.shape[0])
     overlay["actuator_gainprm"] = gp.at[rows, col].set(
         gp[rows, col] * s)
+    # keep the coupled bias term consistent: muscle passive force scales
+    # with F_max (biasprm[2]); affine servos carry -kp at biasprm[1] and
+    # -kv at biasprm[2] (reference randomize_actuators,
+    # physics/randomize.py:209-250, sets biasprm[:,1]=-kp / [:,2]=-kv)
+    is_affine = np.asarray(model.actuator_biastype) == BiasType.AFFINE
+    bpo = bp.at[rows[is_muscle], 2].mul(s[is_muscle])
+    aff = rows[is_affine & ~is_muscle]
+    bpo = bpo.at[aff, 1].mul(s[aff]).at[aff, 2].mul(s[aff])
+    overlay["actuator_biasprm"] = bpo
   return overlay

@@ -84,14 +84,19 @@ def main(argv=None):
     learner = pmesh.ShardedPPO(learner, pmesh.data_mesh(jax.devices()))
 
   ts = learner.init(args.seed)
+  start_iter = 0
   if args.resume:
     ts = checkpoint.restore(args.resume, ts)
-    print(f"resumed from {args.resume}")
+    # derive completed iterations from the restored env-step counter so the
+    # run continues (not restarts): iteration numbering, env_steps, and
+    # checkpoint names all pick up where the previous run stopped
+    start_iter = int(ts.steps) // per_iter
+    print(f"resumed from {args.resume} at iter {start_iter}")
 
   step_fn = jax.jit(learner.train_step)
   iters = max(1, args.total_steps // per_iter)
   t0 = time.time()
-  for it in range(iters):
+  for it in range(start_iter, iters):
     ts, metrics = step_fn(ts)
     if (it + 1) % args.log_every == 0 or it == iters - 1:
       metrics = {k: float(v) for k, v in metrics.items()}
@@ -99,7 +104,7 @@ def main(argv=None):
       print(json.dumps({
           "iter": it + 1,
           "env_steps": (it + 1) * per_iter,
-          "steps_per_s": round((it + 1) * per_iter / wall, 1),
+          "steps_per_s": round((it + 1 - start_iter) * per_iter / wall, 1),
           **{k: round(v, 5) for k, v in metrics.items()},
       }), flush=True)
     if args.checkpoint_dir and ((it + 1) % args.checkpoint_every == 0

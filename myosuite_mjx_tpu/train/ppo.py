@@ -133,7 +133,8 @@ class PPO:
       transition = dict(
           obs=obs, act=act, logp=logp, value=value,
           reward=nxt.info["rwd_dense"],
-          done=(nxt.done | (nxt.steps == 0)).astype(jnp.float32),
+          done=(nxt.info["terminated"]
+                | nxt.info["truncated"]).astype(jnp.float32),
           solved=nxt.info["solved"].astype(jnp.float32),
       )
       return (nxt, key), transition

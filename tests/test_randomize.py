@@ -55,8 +55,9 @@ def test_overlay_matches_mutated_oracle(field):
   elif field == "actuator_gainprm":
     vals = mj.actuator_gainprm.copy()
     scale = rng.uniform(0.6, 1.4, mj.nu)
+    muscle = int(mujoco.mjtGain.mjGAIN_MUSCLE)  # == 2
     for u in range(mj.nu):
-      col = 2 if mj.actuator_gaintype[u] == 3 else 0  # mjGAIN_MUSCLE == 3
+      col = 2 if mj.actuator_gaintype[u] == muscle else 0
       vals[u, col] *= scale[u]
     mj.actuator_gainprm[:] = vals
   else:  # body_pos
@@ -77,7 +78,7 @@ def test_sample_overlay_contract():
                        dof_damping=(0.5, 2.0), actuator_gain=(0.7, 1.3))
   ov = sample_overlay(jax.random.PRNGKey(0), m, spec, dtype=jnp.float64)
   assert set(ov) == {"body_mass", "body_pos", "geom_size", "geom_friction",
-                     "dof_damping", "actuator_gainprm"}
+                     "dof_damping", "actuator_gainprm", "actuator_biasprm"}
   # world body never moves
   np.testing.assert_allclose(np.asarray(ov["body_pos"][0]),
                              m.body_pos[0])
