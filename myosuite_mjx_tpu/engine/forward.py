@@ -315,11 +315,16 @@ def euler(m: Model, d: Data) -> Data:
   qfrc = d.qfrc_smooth + d.qfrc_constraint
   if "dof_damping" in d.overlay:
     damping = jnp.asarray(d.overlay["dof_damping"], dtype)
-    mhb = d.qM + dt * jnp.diag(damping)
-    qacc = jnp.linalg.solve(mhb, qfrc)
   elif float(abs(m.dof_damping).sum()) > 0:
-    mhb = d.qM + dt * jnp.diag(jnp.asarray(m.dof_damping, dtype))
-    qacc = jnp.linalg.solve(mhb, qfrc)
+    damping = jnp.asarray(m.dof_damping, dtype)
+  else:
+    damping = None
+  if damping is not None:
+    # M + h*D is SPD: unrolled Cholesky solve (ops/linalg; XLA's batched
+    # factor/solve loops are ~10x slower at nv ~23)
+    from myosuite_mjx_tpu.ops import linalg
+    mhb = d.qM + dt * jnp.diag(damping)
+    qacc = linalg.spd_solve(mhb, qfrc)
   else:
     qacc = d.qacc
   qvel = d.qvel + dt * qacc

@@ -253,16 +253,15 @@ def crb(m: Model, cinert: jax.Array, cdof: jax.Array) -> jax.Array:
 
 
 def factor_m(qM: jax.Array) -> jax.Array:
-  """Cholesky factor (lower) of the mass matrix."""
-  return jnp.linalg.cholesky(qM)
+  """Cholesky factor (lower) of the mass matrix (unrolled; ops/linalg)."""
+  from myosuite_mjx_tpu.ops import linalg
+  return linalg.chol_factor(qM)
 
 
 def solve_m(qLD: jax.Array, x: jax.Array) -> jax.Array:
   """Solve M y = x given the Cholesky factor (supports vector or matrix x)."""
-  vec = x.ndim == 1
-  b = x[:, None] if vec else x
-  y = jax.scipy.linalg.cho_solve((qLD, True), b)
-  return y[:, 0] if vec else y
+  from myosuite_mjx_tpu.ops import linalg
+  return linalg.cho_solve(qLD, x)
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from myosuite_mjx_tpu.engine import constraint
 from myosuite_mjx_tpu.engine.data import Data
 from myosuite_mjx_tpu.engine.model import Model
+from myosuite_mjx_tpu.ops import linalg
 
 
 def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
@@ -133,8 +134,7 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
     w = weights(jar)
     grad = grad_at(qacc, jar, w)
     H = qM + (J.T * w) @ J
-    L = jnp.linalg.cholesky(H)
-    p = -jax.scipy.linalg.cho_solve((L, True), grad[:, None])[:, 0]
+    p = -linalg.spd_solve(H, grad)
     alpha = linesearch(qacc, p, jar)
     improved = jnp.dot(grad, p) < -1e-16
     qacc_new = jnp.where(improved, qacc + alpha * p, qacc)
