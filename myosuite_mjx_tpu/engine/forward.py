@@ -50,29 +50,36 @@ def fwd_position(m: Model, d: Data) -> Data:
 
 def _transmission(m: Model, qpos: jax.Array, ten_length: jax.Array,
                   ten_J: jax.Array):
+  """Actuator lengths/moments, vectorized per transmission type."""
   dtype = qpos.dtype
-  lengths = []
-  moments = []
-  for u in range(m.nu):
-    trn = int(m.actuator_trntype[u])
-    gear = float(m.actuator_gear[u, 0])
-    tid = int(m.actuator_trnid[u, 0])
-    if trn == TrnType.JOINT:
-      jt = int(m.jnt_type[tid])
-      if jt not in (JointType.HINGE, JointType.SLIDE):
-        raise NotImplementedError("joint transmission on ball/free joints")
-      qadr = int(m.jnt_qposadr[tid])
-      dadr = int(m.jnt_dofadr[tid])
-      lengths.append(gear * qpos[qadr])
-      moments.append(jnp.zeros(m.nv, dtype).at[dadr].set(gear))
-    elif trn == TrnType.TENDON:
-      lengths.append(gear * ten_length[tid])
-      moments.append(gear * ten_J[tid])
-    else:
-      raise NotImplementedError(f"transmission type {trn}")
-  if not lengths:
+  if m.nu == 0:
     return jnp.zeros((0,), dtype), jnp.zeros((0, m.nv), dtype)
-  return jnp.stack(lengths), jnp.stack(moments)
+  import numpy as np
+  trn = np.asarray(m.actuator_trntype)
+  gear = jnp.asarray(m.actuator_gear[:, 0], dtype)          # [nu]
+  tid = np.asarray(m.actuator_trnid[:, 0])
+  bad = set(np.unique(trn)) - {int(TrnType.JOINT), int(TrnType.TENDON)}
+  if bad:
+    raise NotImplementedError(f"transmission types {sorted(bad)}")
+
+  lengths = jnp.zeros((m.nu,), dtype)
+  moments = jnp.zeros((m.nu, m.nv), dtype)
+  is_j = trn == TrnType.JOINT
+  if is_j.any():
+    ju = np.where(is_j)[0]
+    jts = m.jnt_type[tid[ju]]
+    if not np.isin(jts, (JointType.HINGE, JointType.SLIDE)).all():
+      raise NotImplementedError("joint transmission on ball/free joints")
+    qadr = m.jnt_qposadr[tid[ju]]
+    dadr = m.jnt_dofadr[tid[ju]]
+    lengths = lengths.at[ju].set(gear[ju] * qpos[qadr])
+    moments = moments.at[ju, dadr].set(gear[ju])
+  is_t = trn == TrnType.TENDON
+  if is_t.any():
+    tu = np.where(is_t)[0]
+    lengths = lengths.at[tu].set(gear[tu] * ten_length[tid[tu]])
+    moments = moments.at[tu].set(gear[tu, None] * ten_J[tid[tu]])
+  return lengths, moments
 
 
 # ---------------------------------------------------------------------------

@@ -571,11 +571,33 @@ def from_mj(mj: mujoco.MjModel, dtype=np.float64) -> Model:
   )
 
 
+_model_cache: dict[tuple, Model] = {}
+
+
 def load_model(path_or_xml: str, dtype=np.float64,
                assets: dict[str, Any] | None = None) -> Model:
-  """Compile an MJCF file or XML string and convert it."""
-  mj = load_mj_model(path_or_xml, assets)
-  return from_mj(mj, dtype=dtype)
+  """Compile an MJCF file or XML string and convert it.
+
+  Results are cached per (source, dtype): Model is an immutable frozen
+  dataclass of host numpy constants, so sharing across env instances is
+  safe and makes constructing the ~190 MyoDM variants (49 distinct scene
+  XMLs) cheap.
+  """
+  if assets:
+    import hashlib
+    h = hashlib.sha256()
+    for name in sorted(assets):
+      v = assets[name]
+      h.update(name.encode())
+      h.update(v if isinstance(v, bytes) else str(v).encode())
+    akey = h.hexdigest()
+  else:
+    akey = None
+  key = (path_or_xml, np.dtype(dtype).name, akey)
+  if key not in _model_cache:
+    mj = load_mj_model(path_or_xml, assets)
+    _model_cache[key] = from_mj(mj, dtype=dtype)
+  return _model_cache[key]
 
 
 def load_mj_model(path_or_xml: str,

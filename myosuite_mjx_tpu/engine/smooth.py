@@ -379,9 +379,11 @@ def point_jac_dir(m: Model, cdof: jax.Array, points: jax.Array,
   mask = jnp.asarray(body_dof_mask(m), cdof.dtype)[bodyids]      # [S, nv]
   ang = cdof[:, :3]                                              # [nv, 3]
   lin = cdof[:, 3:]
-  # v(point) = lin + ang x point  per dof; project on dir
-  cross = jnp.cross(ang[None, :, :], points[:, None, :])         # [S, nv, 3]
-  proj = jnp.einsum("snk,sk->sn", lin[None, :, :] + cross, dirs)
+  # v(point) = lin + ang x point per dof; projecting on dir uses the scalar
+  # triple product (ang x p) . d = ang . (p x d), so the [S, nv, 3] cross
+  # intermediate never materializes — two [S,3]x[3,nv] matmuls instead
+  pc = jnp.cross(points, dirs)                                   # [S, 3]
+  proj = dirs @ lin.T + pc @ ang.T                               # [S, nv]
   return proj * mask
 
 

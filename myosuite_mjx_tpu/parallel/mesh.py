@@ -26,14 +26,31 @@ def data_mesh(devices=None) -> Mesh:
   return Mesh(np.asarray(devices), ("data",))
 
 
-def init_distributed():
-  """Multi-host initialization (no-op on single host)."""
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+  """Multi-host initialization with explicit plumbing.
+
+  Returns True when running (or now initialized) multi-process, False for
+  plain single-host. Configuration comes from the arguments or the standard
+  environment (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID,
+  or a TPU pod runtime that auto-configures). Errors are raised, not
+  swallowed: a mis-configured pod launch must fail loudly rather than train
+  on one host silently.
+  """
+  import os
   if jax.process_count() > 1:
-    return
-  try:
-    jax.distributed.initialize()
-  except (RuntimeError, ValueError):
-    pass  # single-host / already initialized
+    return True  # already initialized by a prior call / runtime
+  env_cfg = any(v in os.environ for v in (
+      "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+  explicit = coordinator_address is not None
+  if not env_cfg and not explicit and not (num_processes or 0) > 1:
+    return False  # single host, nothing to do
+  jax.distributed.initialize(
+      coordinator_address=coordinator_address,
+      num_processes=num_processes,
+      process_id=process_id)
+  return jax.process_count() > 1
 
 
 def shard_env_batch(mesh: Mesh, tree):
@@ -64,6 +81,11 @@ class ShardedPPO:
     if ppo.cfg.num_envs % n:
       raise ValueError(
           f"num_envs={ppo.cfg.num_envs} not divisible by mesh size {n}")
+    groups = min(ppo.cfg.data_groups, ppo.cfg.num_envs)
+    if groups % n:
+      raise ValueError(
+          f"data_groups={groups} must be a multiple of the mesh size {n} "
+          "so minibatch shuffles stay shard-local")
 
     def _prec(fn):
       def wrapped(*a):
@@ -79,11 +101,15 @@ class ShardedPPO:
 
   def place(self, ts):
     env_state = shard_env_batch(self.mesh, ts.env_state)
+    ret_accum = shard_env_batch(self.mesh, ts.ret_accum)
     rest = replicate(
-        self.mesh, (ts.params, ts.opt_state, ts.key, ts.steps))
-    params, opt_state, key, steps = rest
+        self.mesh, (ts.params, ts.opt_state, ts.key, ts.steps,
+                    ts.obs_norm, ts.ret_norm))
+    params, opt_state, key, steps, obs_norm, ret_norm = rest
     return ts.replace(params=params, opt_state=opt_state,
-                      env_state=env_state, key=key, steps=steps)
+                      env_state=env_state, key=key, steps=steps,
+                      obs_norm=obs_norm, ret_norm=ret_norm,
+                      ret_accum=ret_accum)
 
   def train_step(self, ts):
     return self._step(ts)

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
   ap.add_argument("--resume", default=None,
                   help="checkpoint path to resume from")
   ap.add_argument("--log-every", type=int, default=10)
+  ap.add_argument("--eval-every", type=int, default=0,
+                  help="iterations between deterministic-policy evals "
+                       "(ppo only; 0 disables)")
   return ap
 
 
@@ -94,10 +97,17 @@ def main(argv=None):
     print(f"resumed from {args.resume} at iter {start_iter}")
 
   step_fn = jax.jit(learner.train_step)
+  eval_fn = None
+  if args.eval_every and args.algo == "ppo":
+    eval_fn = jax.jit(learner.ppo.eval_step
+                      if hasattr(learner, "ppo") else learner.eval_step)
   iters = max(1, args.total_steps // per_iter)
   t0 = time.time()
   for it in range(start_iter, iters):
     ts, metrics = step_fn(ts)
+    if eval_fn is not None and ((it + 1) % args.eval_every == 0
+                                or it == iters - 1):
+      metrics = {**metrics, **eval_fn(ts)}
     if (it + 1) % args.log_every == 0 or it == iters - 1:
       metrics = {k: float(v) for k, v in metrics.items()}
       wall = time.time() - t0

