@@ -339,16 +339,19 @@ def _capsule_capsule(g1pos, g1mat, r1, h1, g2pos, g2mat, r2, h2):
   return _sphere_sphere(p1, r1, p2, r2)
 
 
-def _ellipsoid_surface_point(p: jax.Array, radii: jax.Array):
+def _ellipsoid_proj(p: jax.Array, radii: jax.Array,
+                    mu_ws: jax.Array | None = None, iters: int = 16):
   """Exact closest point on an axis-aligned ellipsoid to local point p.
 
   Solves the KKT condition x_i = a_i^2 p_i / (a_i^2 + mu) with
   sum (x_i/a_i)^2 = 1 by Newton on g(mu) = sum a_i^2 p_i^2/(a_i^2+mu)^2 - 1,
   valid for points outside (mu > 0) and inside (-a_min^2 < mu < 0). g is
-  decreasing and convex on (-a_min^2, inf), so Newton started left of the
-  root (any mu with g >= 0) converges monotonically and quadratically —
-  ~6 iterations to machine precision vs ~80 bisections.
-  Returns (surface point, outward unit normal, signed distance).
+  decreasing and convex on (-a_min^2, inf): from the left of the root
+  Newton converges monotonically; from the right the first step jumps to
+  the left of the root (tangents lie below a convex g) — so ANY start in
+  the domain is safe, and a warm start (mu from a neighbouring query)
+  converges in ~2-3 iterations.
+  Returns (surface point, outward unit normal, signed distance, mu).
   """
   a2 = radii * radii
   amin2 = jnp.min(a2)
@@ -358,9 +361,12 @@ def _ellipsoid_surface_point(p: jax.Array, radii: jax.Array):
     t = a2 * p * p / (den * den)
     return jnp.sum(t) - 1.0, jnp.sum(-2.0 * t / den)
 
-  # certified left-of-root start: per-axis bound mu >= a_i |p_i| - a_i^2
   lo = -amin2 * (1.0 - 1e-12)
-  mu0 = jnp.maximum(jnp.max(radii * jnp.abs(p) - a2), lo)
+  if mu_ws is None:
+    # certified left-of-root start: per-axis bound mu >= a_i |p_i| - a_i^2
+    mu0 = jnp.maximum(jnp.max(radii * jnp.abs(p) - a2), lo)
+  else:
+    mu0 = jnp.maximum(mu_ws, lo)
 
   def body(carry):
     mu, _, it = carry
@@ -369,11 +375,14 @@ def _ellipsoid_surface_point(p: jax.Array, radii: jax.Array):
     mu_n = jnp.maximum(mu_n, lo)     # stay in the valid domain
     return mu_n, gv, it + 1
 
-  gtol = 8.0 * jnp.finfo(p.dtype).eps
+  # quadratic convergence stalls at the dtype's rounding floor: g is a sum
+  # of squared ratios, so its noise floor is ~32 eps — a tighter tolerance
+  # just runs every lane to the iteration cap (f32: 1e-6 is unreachable)
+  gtol = 32.0 * jnp.finfo(p.dtype).eps
 
   def cond(carry):
     _, gv, it = carry
-    return (jnp.abs(gv) > gtol) & (it < 30)
+    return (jnp.abs(gv) > gtol) & (it < iters)
 
   mu, _, _ = jax.lax.while_loop(
       cond, body, (mu0, jnp.ones((), p.dtype), jnp.zeros((), jnp.int32)))
@@ -382,6 +391,11 @@ def _ellipsoid_surface_point(p: jax.Array, radii: jax.Array):
   n = grad / jnp.maximum(jnp.linalg.norm(grad), _MINVAL)
   inside = jnp.sum((p / radii) ** 2) < 1.0
   dist = jnp.linalg.norm(p - x) * jnp.where(inside, -1.0, 1.0)
+  return x, n, dist, mu
+
+
+def _ellipsoid_surface_point(p: jax.Array, radii: jax.Array):
+  x, n, dist, _ = _ellipsoid_proj(p, radii)
   return x, n, dist
 
 
@@ -397,7 +411,7 @@ def _sphere_ellipsoid(c1, r1, gpos, gmat, radii):
   return [(dist, pos, n)]
 
 
-def _seg_surface_argmin(a_l, b_l, surf_fn, iters=14):
+def _seg_surface_argmin(a_l, b_l, surf_fn, ws0, iters=12):
   """t in [0, 1] minimizing the signed distance f(t) of the segment point
   a_l + t*(b_l - a_l) to a convex surface.
 
@@ -407,45 +421,55 @@ def _seg_surface_argmin(a_l, b_l, surf_fn, iters=14):
   nondecreasing f'. Safeguarded secant (bisection every other iteration
   guarantees bracket halving) needs ~2+iters normal evaluations, vs ~80
   distance evaluations for golden section at equal accuracy.
+
+  surf_fn(p, ws) -> (x, n, dist, ws) may carry warm-start state between
+  evaluations (e.g. the ellipsoid projection's KKT multiplier).
   """
   dtype = a_l.dtype
   seg = b_l - a_l
 
-  def fp(t):
-    _, n, _ = surf_fn(a_l + t * seg)
-    return jnp.dot(n, seg)
+  def fp(t, ws):
+    _, n, _, ws = surf_fn(a_l + t * seg, ws)
+    return jnp.dot(n, seg), ws
 
-  f0 = fp(jnp.zeros((), dtype))
-  f1 = fp(jnp.ones((), dtype))
+  f0, ws = fp(jnp.zeros((), dtype), ws0)
+  f1, ws = fp(jnp.ones((), dtype), ws)
 
   def body(i, c):
-    lo, flo, hi, fhi = c
+    lo, flo, hi, fhi, ws = c
     denom = fhi - flo
     sec = hi - fhi * (hi - lo) / jnp.where(
         jnp.abs(denom) < _MINVAL, jnp.inf, denom)
     mid = 0.5 * (lo + hi)
     use_sec = (i % 2 == 1) & (sec > lo) & (sec < hi)
     s = jnp.where(use_sec, sec, mid)
-    fs = fp(s)
+    fs, ws = fp(s, ws)
     neg = fs < 0
     return (jnp.where(neg, s, lo), jnp.where(neg, fs, flo),
-            jnp.where(neg, hi, s), jnp.where(neg, fhi, fs))
+            jnp.where(neg, hi, s), jnp.where(neg, fhi, fs), ws)
 
-  lo, flo, hi, fhi = jax.lax.fori_loop(
+  lo, flo, hi, fhi, _ = jax.lax.fori_loop(
       0, iters, body,
-      (jnp.zeros((), dtype), f0, jnp.ones((), dtype), f1))
+      (jnp.zeros((), dtype), f0, jnp.ones((), dtype), f1, ws))
   t_root = jnp.where(jnp.abs(flo) < jnp.abs(fhi), lo, hi)
   return jnp.where(f0 >= 0, 0.0, jnp.where(f1 <= 0, 1.0, t_root))
 
 
 def _capsule_ellipsoid(gpos1, gmat1, r1, h1, gpos2, gmat2, radii):
   """Exact: 1D convex minimization over the capsule axis of the exact
-  point-ellipsoid signed distance (see _seg_surface_argmin)."""
+  point-ellipsoid signed distance (see _seg_surface_argmin). The KKT
+  multiplier warm-starts across axis evaluations (~3 Newton its each)."""
   a, b = _capsule_ends(gpos1, gmat1, h1)
   a_l = gmat2.T @ (a - gpos2)
   b_l = gmat2.T @ (b - gpos2)
-  t = _seg_surface_argmin(
-      a_l, b_l, lambda p: _ellipsoid_surface_point(p, radii))
+
+  def surf(p, mu):
+    x, n, dist, mu = _ellipsoid_proj(p, radii, mu_ws=mu, iters=8)
+    return x, n, dist, mu
+
+  # first eval uses the certified cold start (ws None -> sentinel below)
+  x0, n0, d0v, mu0 = _ellipsoid_proj(a_l, radii)
+  t = _seg_surface_argmin(a_l, b_l, surf, mu0)
   p = a + t * (b - a)
   return _sphere_ellipsoid(p, r1, gpos2, gmat2, radii)
 
@@ -507,8 +531,11 @@ def _capsule_cylinder(gpos1, gmat1, r1, h1, gpos2, gmat2, r2, h2):
   a, b = _capsule_ends(gpos1, gmat1, h1)
   a_l = gmat2.T @ (a - gpos2)
   b_l = gmat2.T @ (b - gpos2)
-  t = _seg_surface_argmin(
-      a_l, b_l, lambda p: _cylinder_surface_point(p, r2, h2))
+
+  def surf(p, ws):
+    return _cylinder_surface_point(p, r2, h2) + (ws,)
+
+  t = _seg_surface_argmin(a_l, b_l, surf, jnp.zeros((), a_l.dtype))
   p = a + t * (b - a)
   return _sphere_cylinder(p, r1, gpos2, gmat2, r2, h2)
 

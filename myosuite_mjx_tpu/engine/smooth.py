@@ -70,72 +70,153 @@ def spatial_inertia(mass: jax.Array, inertia_diag: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# forward kinematics
+# forward kinematics (level-wise vectorized)
 # ---------------------------------------------------------------------------
+
+
+_tree_cache: dict[int, "_TreeSpec"] = {}
+
+
+class _TreeSpec:
+  """Static tree layout: bodies grouped by depth, joints grouped by slot
+  position within their body and by type — so FK runs as ~depth batched
+  quaternion ops instead of one op chain per body."""
+
+  def __init__(self, m: Model):
+    nb = m.nbody
+    depth = np.zeros(nb, np.int64)
+    for i in range(1, nb):
+      depth[i] = depth[int(m.body_parentid[i])] + 1
+    self.levels = []          # [(body_ids, parent_ids)] by depth
+    for dlv in range(1, int(depth.max()) + 1 if nb > 1 else 1):
+      ids = np.where(depth == dlv)[0]
+      if len(ids):
+        self.levels.append((ids, m.body_parentid[ids]))
+    # joint slots: slot k = each body's (k+1)-th joint, grouped by type
+    maxslots = int(m.body_jntnum.max()) if m.njnt else 0
+    self.slots = []           # [{jtype: (body_ids, jnt_ids)}]
+    for k in range(maxslots):
+      has = np.where(m.body_jntnum > k)[0]
+      jids = m.body_jntadr[has] + k
+      groups = {}
+      for jt in np.unique(m.jnt_type[jids]):
+        sel = m.jnt_type[jids] == jt
+        groups[int(jt)] = (has[sel], jids[sel])
+      self.slots.append(groups)
+    free = np.where(m.jnt_type == JointType.FREE)[0]
+    self.free_jids = free
+    self.free_bids = m.jnt_bodyid[free]
+    self.free_qadr = m.jnt_qposadr[free]
+    self.mocap_bids = np.where(m.body_mocapid >= 0)[0]
+    self.mocap_ids = m.body_mocapid[self.mocap_bids]
+    # world position of a joint = parent-body pose ∘ anchor_rel
+    self.jnt_parentbid = m.body_parentid[m.jnt_bodyid]
+
+
+def _tree_spec(m: Model) -> _TreeSpec:
+  key = id(m)
+  if key not in _tree_cache:
+    _tree_cache[key] = _TreeSpec(m)
+  return _tree_cache[key]
 
 
 def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
                mocap_quat: jax.Array, overlay: dict | None = None):
   """Body/joint/site/geom world poses. Mirrors mj_kinematics semantics.
 
+  Level-wise vectorized: per-body local transforms (body offset composed
+  with that body's joints) are computed for all bodies at once, then
+  composed down the tree one depth level at a time — sequential depth is
+  the tree height (~10 for myoHand), not the body count.
+
   ``overlay['body_pos']`` (nbody, 3) overrides local body offsets per
   episode (SimRandomizer.randomize_bodies, physics/randomize.py:64-91).
   """
   dtype = qpos.dtype
-  overlay_body_pos = None
+  spec = _tree_spec(m)
+  nb = m.nbody
+
   if overlay and "body_pos" in overlay:
-    overlay_body_pos = jnp.asarray(overlay["body_pos"], dtype)
-  xpos = [jnp.zeros(3, dtype)] * m.nbody
-  xquat = [qmath.quat_identity(dtype=dtype)] * m.nbody
-  xanchor = [jnp.zeros(3, dtype)] * max(m.njnt, 1)
-  xaxis = [jnp.zeros(3, dtype)] * max(m.njnt, 1)
+    t_loc = jnp.asarray(overlay["body_pos"], dtype)
+  else:
+    t_loc = jnp.asarray(m.body_pos, dtype)
+  q_loc = jnp.asarray(m.body_quat, dtype)
+  if len(spec.mocap_bids):
+    t_loc = t_loc.at[spec.mocap_bids].set(mocap_pos[spec.mocap_ids])
+    q_loc = q_loc.at[spec.mocap_bids].set(mocap_quat[spec.mocap_ids])
 
-  for i in range(1, m.nbody):
-    p = int(m.body_parentid[i])
-    body_pos = (overlay_body_pos[i] if overlay_body_pos is not None
-                else jnp.asarray(m.body_pos[i], dtype))
-    body_quat = jnp.asarray(m.body_quat[i], dtype)
-    mid = int(m.body_mocapid[i])
-    if mid >= 0:
-      body_pos = mocap_pos[mid]
-      body_quat = mocap_quat[mid]
-    xp = xpos[p] + qmath.quat_rotate(xquat[p], body_pos)
-    xq = qmath.quat_mul(xquat[p], body_quat)
+  anchor_rel = jnp.zeros((max(m.njnt, 1), 3), dtype)
+  axis_rel = jnp.zeros((max(m.njnt, 1), 3), dtype)
 
-    ja, jn = int(m.body_jntadr[i]), int(m.body_jntnum[i])
-    for j in range(ja, ja + jn):
-      jtype = int(m.jnt_type[j])
-      adr = int(m.jnt_qposadr[j])
-      jpos = jnp.asarray(m.jnt_pos[j], dtype)
-      jaxis = jnp.asarray(m.jnt_axis[j], dtype)
-      if jtype == JointType.FREE:
-        xp = qpos[adr:adr + 3]
-        xq = qmath.normalize(qpos[adr + 3:adr + 7])
-        xanchor[j] = xp
-        xaxis[j] = jaxis
+  # fold each body's joints into its parent-frame local transform, one
+  # joint slot at a time (bodies have <= ~3 joints), vectorized per type
+  for groups in spec.slots:
+    for jt, (bids, jids) in groups.items():
+      if jt == JointType.FREE:
+        continue   # absolute pose, applied in the level pass
+      t = t_loc[bids]
+      q = q_loc[bids]
+      jpos = jnp.asarray(m.jnt_pos[jids], dtype)
+      jaxis = jnp.asarray(m.jnt_axis[jids], dtype)
+      qadr = m.jnt_qposadr[jids]
+      anch = t + qmath.quat_rotate(q, jpos)
+      axr = qmath.quat_rotate(q, jaxis)
+      anchor_rel = anchor_rel.at[jids].set(anch)
+      axis_rel = axis_rel.at[jids].set(axr)
+      if jt == JointType.HINGE:
+        ang = qpos[qadr] - jnp.asarray(m.qpos0[qadr], dtype)
+        qn = qmath.quat_mul(q, qmath.axis_angle_to_quat(jaxis, ang))
+        tn = anch - qmath.quat_rotate(qn, jpos)
+      elif jt == JointType.SLIDE:
+        disp = qpos[qadr] - jnp.asarray(m.qpos0[qadr], dtype)
+        tn = t + axr * disp[:, None]
+        qn = q
+      elif jt == JointType.BALL:
+        qloc = qmath.normalize(qpos[qadr[:, None] + np.arange(4)])
+        qn = qmath.quat_mul(q, qloc)
+        tn = anch - qmath.quat_rotate(qn, jpos)
       else:
-        anchor = xp + qmath.quat_rotate(xq, jpos)
-        axis = qmath.quat_rotate(xq, jaxis)
-        xanchor[j] = anchor
-        xaxis[j] = axis
-        if jtype == JointType.BALL:
-          qloc = qmath.normalize(qpos[adr:adr + 4])
-          xq = qmath.quat_mul(xq, qloc)
-          xp = anchor - qmath.quat_rotate(xq, jpos)
-        elif jtype == JointType.SLIDE:
-          xp = xp + axis * (qpos[adr] - float(m.qpos0[adr]))
-        elif jtype == JointType.HINGE:
-          qloc = qmath.axis_angle_to_quat(jaxis, qpos[adr] - float(m.qpos0[adr]))
-          xq = qmath.quat_mul(xq, qloc)
-          xp = anchor - qmath.quat_rotate(xq, jpos)
-    xpos[i] = xp
-    xquat[i] = qmath.normalize(xq)
+        raise NotImplementedError(f"joint type {jt}")
+      t_loc = t_loc.at[bids].set(tn)
+      q_loc = q_loc.at[bids].set(qn)
 
-  xpos = jnp.stack(xpos)
-  xquat = jnp.stack(xquat)
+  # free-joint bodies carry an absolute world pose
+  if len(spec.free_bids):
+    fq = spec.free_qadr
+    fpos = qpos[fq[:, None] + np.arange(3)]
+    fquat = qmath.normalize(qpos[fq[:, None] + 3 + np.arange(4)])
+  else:
+    fpos = fquat = None
+
+  # level-wise composition down the tree
+  xpos = jnp.zeros((nb, 3), dtype)
+  xquat = jnp.tile(qmath.quat_identity(dtype=dtype), (nb, 1))
+  for ids, parents in spec.levels:
+    xp = xpos[parents] + qmath.quat_rotate(xquat[parents], t_loc[ids])
+    xq = qmath.quat_mul(xquat[parents], q_loc[ids])
+    xpos = xpos.at[ids].set(xp)
+    xquat = xquat.at[ids].set(xq)
+    if fpos is not None:
+      lvl = np.isin(spec.free_bids, ids)
+      if lvl.any():
+        fb = spec.free_bids[lvl]
+        xpos = xpos.at[fb].set(fpos[lvl])
+        xquat = xquat.at[fb].set(fquat[lvl])
+  xquat = qmath.normalize(xquat)
   xmat = qmath.quat_to_mat(xquat)
-  xanchor = jnp.stack(xanchor)[:m.njnt]
-  xaxis = jnp.stack(xaxis)[:m.njnt]
+
+  # world joint anchors/axes from the parent-frame relatives
+  if m.njnt:
+    pb = spec.jnt_parentbid
+    xanchor = xpos[pb] + qmath.quat_rotate(xquat[pb], anchor_rel[:m.njnt])
+    xaxis = qmath.quat_rotate(xquat[pb], axis_rel[:m.njnt])
+    if len(spec.free_jids):
+      fj = spec.free_jids
+      xanchor = xanchor.at[fj].set(xpos[spec.free_bids])
+      xaxis = xaxis.at[fj].set(jnp.asarray(m.jnt_axis[fj], dtype))
+  else:
+    xanchor = jnp.zeros((0, 3), dtype)
+    xaxis = jnp.zeros((0, 3), dtype)
 
   # inertial frames
   ipos = jnp.asarray(m.body_ipos, dtype)
@@ -173,50 +254,60 @@ def com_pos(m: Model, kin: dict, overlay: dict | None = None):
   """
   xipos, ximat = kin["xipos"], kin["ximat"]
   dtype = xipos.dtype
+  spec = _tree_spec(m)
   if overlay and "body_mass" in overlay:
     mass = jnp.asarray(overlay["body_mass"], dtype)
   else:
     mass = jnp.asarray(m.body_mass, dtype)
 
-  # subtree com by reverse accumulation (statically unrolled)
-  wsum = [mass[i] * xipos[i] for i in range(m.nbody)]
-  msum = [mass[i] for i in range(m.nbody)]
-  for i in range(m.nbody - 1, 0, -1):
-    p = int(m.body_parentid[i])
-    wsum[p] = wsum[p] + wsum[i]
-    msum[p] = msum[p] + msum[i]
-  subtree_com = jnp.stack(
-      [wsum[i] / jnp.maximum(msum[i], 1e-12) for i in range(m.nbody)])
+  # subtree com by reverse level-wise accumulation (duplicate parent
+  # indices in .add are summed, so one scatter-add per level)
+  wsum = mass[:, None] * xipos
+  msum = mass
+  for ids, parents in reversed(spec.levels):
+    wsum = wsum.at[parents].add(wsum[ids])
+    msum = msum.at[parents].add(msum[ids])
+  subtree_com = wsum / jnp.maximum(msum, 1e-12)[:, None]
 
   inertia = jnp.asarray(m.body_inertia, dtype)
   cinert = jax.vmap(spatial_inertia)(mass, inertia, xipos, ximat)
 
-  # dof motion axes at world origin
-  cdof = [jnp.zeros(6, dtype)] * m.nv
-  for j in range(m.njnt):
-    jtype = int(m.jnt_type[j])
-    vadr = int(m.jnt_dofadr[j])
-    bid = int(m.jnt_bodyid[j])
-    anchor = kin["xanchor"][j]
-    axis = kin["xaxis"][j]
-    xmat_b = kin["xmat"][bid]
-    if jtype == JointType.FREE:
-      for k in range(3):
-        e = jnp.zeros(3, dtype).at[k].set(1.0)
-        cdof[vadr + k] = jnp.concatenate([jnp.zeros(3, dtype), e])
-      for k in range(3):
-        w = xmat_b[:, k]  # child-frame axes (local angular velocity)
-        cdof[vadr + 3 + k] = jnp.concatenate(
-            [w, jnp.cross(anchor, w)])
-    elif jtype == JointType.BALL:
-      for k in range(3):
-        w = xmat_b[:, k]
-        cdof[vadr + k] = jnp.concatenate([w, jnp.cross(anchor, w)])
-    elif jtype == JointType.SLIDE:
-      cdof[vadr] = jnp.concatenate([jnp.zeros(3, dtype), axis])
-    else:  # HINGE
-      cdof[vadr] = jnp.concatenate([axis, jnp.cross(anchor, axis)])
-  cdof = jnp.stack(cdof) if m.nv else jnp.zeros((0, 6), dtype)
+  # dof motion axes at world origin, vectorized by joint type
+  cdof = jnp.zeros((max(m.nv, 1), 6), dtype)
+  xanchor, xaxis, xmat = kin["xanchor"], kin["xaxis"], kin["xmat"]
+  jt_all = np.asarray(m.jnt_type)
+  for jt in np.unique(jt_all):
+    jids = np.where(jt_all == jt)[0]
+    vadr = m.jnt_dofadr[jids]
+    anch = xanchor[jids]
+    if jt == JointType.HINGE:
+      ax = xaxis[jids]
+      rows = jnp.concatenate([ax, jnp.cross(anch, ax)], axis=-1)
+      cdof = cdof.at[vadr].set(rows)
+    elif jt == JointType.SLIDE:
+      ax = xaxis[jids]
+      rows = jnp.concatenate([jnp.zeros_like(ax), ax], axis=-1)
+      cdof = cdof.at[vadr].set(rows)
+    elif jt == JointType.BALL:
+      w = jnp.swapaxes(xmat[m.jnt_bodyid[jids]], -1, -2)   # [J, 3(k), 3]
+      rows = jnp.concatenate(
+          [w, jnp.cross(anch[:, None, :], w)], axis=-1)    # [J, 3, 6]
+      idx = (vadr[:, None] + np.arange(3)).reshape(-1)
+      cdof = cdof.at[idx].set(rows.reshape(-1, 6))
+    elif jt == JointType.FREE:
+      # 3 world-aligned translations + 3 child-frame rotations
+      eye = jnp.eye(3, dtype=dtype)
+      tr = jnp.concatenate([jnp.zeros((3, 3), dtype), eye], axis=-1)
+      w = jnp.swapaxes(xmat[m.jnt_bodyid[jids]], -1, -2)
+      rot = jnp.concatenate(
+          [w, jnp.cross(anch[:, None, :], w)], axis=-1)
+      idx_t = (vadr[:, None] + np.arange(3)).reshape(-1)
+      idx_r = (vadr[:, None] + 3 + np.arange(3)).reshape(-1)
+      cdof = cdof.at[idx_t].set(jnp.tile(tr, (len(jids), 1)))
+      cdof = cdof.at[idx_r].set(rot.reshape(-1, 6))
+    else:
+      raise NotImplementedError(f"joint type {jt}")
+  cdof = cdof[:m.nv] if m.nv else jnp.zeros((0, 6), dtype)
   return subtree_com, cinert, cdof
 
 
@@ -239,14 +330,13 @@ def _ancestor_mask(m: Model) -> np.ndarray:
 def crb(m: Model, cinert: jax.Array, cdof: jax.Array) -> jax.Array:
   """Dense joint-space mass matrix via composite rigid bodies."""
   dtype = cdof.dtype
-  # composite (subtree) inertia per body
-  csub = [cinert[i] for i in range(m.nbody)]
-  for i in range(m.nbody - 1, 0, -1):
-    p = int(m.body_parentid[i])
-    csub[p] = csub[p] + csub[i]
+  spec = _tree_spec(m)
+  # composite (subtree) inertia per body: reverse level-wise accumulation
+  csub = cinert
+  for ids, parents in reversed(spec.levels):
+    csub = csub.at[parents].add(csub[ids])
   # F_i = I_subtree(body(dof_i)) @ cdof_i  -> [nv, 6]
-  f_rows = [csub[int(m.dof_bodyid[i])] @ cdof[i] for i in range(m.nv)]
-  F = jnp.stack(f_rows) if m.nv else jnp.zeros((0, 6), dtype)
+  F = jnp.einsum("nab,nb->na", csub[m.dof_bodyid], cdof)
   lower = (F @ cdof.T) * jnp.asarray(_ancestor_mask(m), dtype)
   qM = lower + lower.T - jnp.diag(jnp.diag(lower))
   return qM + jnp.diag(jnp.asarray(m.dof_armature, dtype))
@@ -270,45 +360,57 @@ def solve_m(qLD: jax.Array, x: jax.Array) -> jax.Array:
 
 
 def com_vel(m: Model, cdof: jax.Array, qvel: jax.Array):
-  """Body spatial velocities and dof-axis time derivatives (mj_comVel)."""
+  """Body spatial velocities and dof-axis time derivatives (mj_comVel).
+
+  Level-wise: parent velocities propagate one tree level at a time; each
+  body's own-joint contributions and the cdof_dot cross products are
+  vectorized per joint slot/type within the level pass.
+  """
   dtype = cdof.dtype
-  cvel = [jnp.zeros(6, dtype)] * m.nbody
-  cdof_dot = [jnp.zeros(6, dtype)] * max(m.nv, 1)
+  spec = _tree_spec(m)
+  nb = m.nbody
+  contrib = cdof * qvel[:, None] if m.nv else cdof[:0]
 
-  for i in range(1, m.nbody):
-    p = int(m.body_parentid[i])
-    v = cvel[p]
-    ja, jn = int(m.body_jntadr[i]), int(m.body_jntnum[i])
-    for j in range(ja, ja + jn):
-      jtype = int(m.jnt_type[j])
-      vadr = int(m.jnt_dofadr[j])
-      if jtype == JointType.FREE:
-        # translations: world-fixed axes, no derivative
-        v = v + (cdof[vadr] * qvel[vadr] + cdof[vadr + 1] * qvel[vadr + 1]
-                 + cdof[vadr + 2] * qvel[vadr + 2])
-        vnew = v
-        for k in range(3):
-          vnew = vnew + cdof[vadr + 3 + k] * qvel[vadr + 3 + k]
-        # rotational axes ride the child frame: differentiate against the
-        # full velocity including the joint's own angular motion
-        for k in range(3):
-          cdof_dot[vadr + 3 + k] = motion_cross(vnew, cdof[vadr + 3 + k])
-        v = vnew
-      elif jtype == JointType.BALL:
-        vnew = v
-        for k in range(3):
-          vnew = vnew + cdof[vadr + k] * qvel[vadr + k]
-        for k in range(3):
-          cdof_dot[vadr + k] = motion_cross(vnew, cdof[vadr + k])
-        v = vnew
-      else:  # SLIDE / HINGE: axis invariant under own motion
-        cdof_dot[vadr] = motion_cross(v, cdof[vadr])
-        v = v + cdof[vadr] * qvel[vadr]
-    cvel[i] = v
+  cvel = jnp.zeros((nb, 6), dtype)
+  cdof_dot = jnp.zeros((max(m.nv, 1), 6), dtype)
 
-  cvel = jnp.stack(cvel)
-  cdof_dot = (jnp.stack(cdof_dot)[:m.nv] if m.nv
-              else jnp.zeros((0, 6), dtype))
+  # per-body cumulative own-dof contributions, resolved slot by slot so the
+  # before/after-own-joint velocity semantics per type are kept exactly
+  jt_all = np.asarray(m.jnt_type)
+  for ids, parents in spec.levels:
+    v = cvel[parents]          # [L, 6] velocity entering the level bodies
+    vcur = cvel.at[ids].set(v)  # running per-body velocity during the fold
+    for groups in spec.slots:
+      for jt, (bids, jids) in groups.items():
+        sel = np.isin(bids, ids)
+        if not sel.any():
+          continue
+        b = bids[sel]
+        j = jids[sel]
+        vadr = m.jnt_dofadr[j]
+        vb = vcur[b]
+        if jt in (JointType.HINGE, JointType.SLIDE):
+          # axis invariant under own motion: derivative vs pre-joint vel
+          cdof_dot = cdof_dot.at[vadr].set(
+              motion_cross(vb, cdof[vadr]))
+          vcur = vcur.at[b].add(contrib[vadr])
+        elif jt == JointType.BALL:
+          idx = vadr[:, None] + np.arange(3)
+          vnew = vb + contrib[idx].sum(axis=1)
+          cdof_dot = cdof_dot.at[idx.reshape(-1)].set(
+              motion_cross(vnew[:, None, :], cdof[idx]).reshape(-1, 6))
+          vcur = vcur.at[b].set(vnew)
+        elif jt == JointType.FREE:
+          idx_t = vadr[:, None] + np.arange(3)
+          idx_r = vadr[:, None] + 3 + np.arange(3)
+          vnew = (vb + contrib[idx_t].sum(axis=1)
+                  + contrib[idx_r].sum(axis=1))
+          cdof_dot = cdof_dot.at[idx_r.reshape(-1)].set(
+              motion_cross(vnew[:, None, :], cdof[idx_r]).reshape(-1, 6))
+          vcur = vcur.at[b].set(vnew)
+    cvel = vcur
+
+  cdof_dot = cdof_dot[:m.nv] if m.nv else jnp.zeros((0, 6), dtype)
   return cvel, cdof_dot
 
 
@@ -321,27 +423,31 @@ def rne(m: Model, cinert: jax.Array, cdof: jax.Array, cdof_dot: jax.Array,
   if m.opt.disableflags & DSBL_GRAVITY:
     gravity = jnp.zeros(3, dtype)
 
-  cacc = [jnp.zeros(6, dtype)] * m.nbody
-  cacc[0] = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
-  for i in range(1, m.nbody):
-    p = int(m.body_parentid[i])
-    a = cacc[p]
-    da, dn = int(m.body_dofadr[i]), int(m.body_dofnum[i])
-    for j in range(da, da + dn):
-      a = a + cdof_dot[j] * qvel[j]
-    cacc[i] = a
+  spec = _tree_spec(m)
+  nb = m.nbody
+  # per-body sum of own-dof cdof_dot * qvel (one segment scatter-add)
+  dotsum = jnp.zeros((nb, 6), dtype)
+  if m.nv:
+    dotsum = dotsum.at[m.dof_bodyid].add(cdof_dot * qvel[:, None])
 
-  cfrc = [jnp.zeros(6, dtype)] * m.nbody
-  for i in range(1, m.nbody):
-    mom = cinert[i] @ cvel[i]
-    cfrc[i] = cinert[i] @ cacc[i] + force_cross(cvel[i], mom)
-  for i in range(m.nbody - 1, 0, -1):
-    p = int(m.body_parentid[i])
-    if p > 0:
-      cfrc[p] = cfrc[p] + cfrc[i]
+  cacc = jnp.zeros((nb, 6), dtype)
+  cacc = cacc.at[0].set(
+      jnp.concatenate([jnp.zeros(3, dtype), -gravity]))
+  for ids, parents in spec.levels:
+    cacc = cacc.at[ids].set(cacc[parents] + dotsum[ids])
 
-  bias = [cdof[j] @ cfrc[int(m.dof_bodyid[j])] for j in range(m.nv)]
-  return jnp.stack(bias) if m.nv else jnp.zeros((0,), dtype)
+  mom = jnp.einsum("nab,nb->na", cinert, cvel)
+  cfrc = (jnp.einsum("nab,nb->na", cinert, cacc)
+          + force_cross(cvel, mom))
+  cfrc = cfrc.at[0].set(0.0)
+  for ids, parents in reversed(spec.levels):
+    keep = parents > 0
+    if keep.any():
+      cfrc = cfrc.at[parents[keep]].add(cfrc[ids[keep]])
+
+  if not m.nv:
+    return jnp.zeros((0,), dtype)
+  return jnp.einsum("nk,nk->n", cdof, cfrc[m.dof_bodyid])
 
 
 # ---------------------------------------------------------------------------

@@ -147,13 +147,13 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
             it + 1)
 
   c0 = cost(start)
-  qacc, _, _, _ = jax.lax.while_loop(
+  qacc, _, _, niter = jax.lax.while_loop(
       nt_cond, nt_body,
       (start, c0, jnp.full((), jnp.inf, dtype), jnp.zeros((), jnp.int32)))
   jar = J @ qacc - aref
   w = weights(jar)
   force = -w * jar
-  return qacc, force
+  return qacc, force, niter
 
 
 def fwd_constraint(m: Model, d: Data) -> Data:
@@ -169,8 +169,8 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   J, aref, D, is_eq, _pos, meta = efc
   iterations = int(m.opt.solver_iterations)
   ls_iterations = int(m.opt.ls_iterations)
-  qacc, force = _newton_solve(m, d, J, aref, D, is_eq,
-                              iterations, ls_iterations)
+  qacc, force, _niter = _newton_solve(m, d, J, aref, D, is_eq,
+                                      iterations, ls_iterations)
   out = d.replace(qfrc_constraint=J.T @ force, qacc=qacc,
                   qacc_warmstart=qacc)
   nl = len(meta["jl_dadr"])

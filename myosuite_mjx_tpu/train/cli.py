@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
   ap.add_argument("--eval-every", type=int, default=0,
                   help="iterations between deterministic-policy evals "
                        "(ppo only; 0 disables)")
+  ap.add_argument("--metrics-out", default=None,
+                  help="write the full metrics history as JSON here")
   return ap
 
 
@@ -103,6 +105,7 @@ def main(argv=None):
                       if hasattr(learner, "ppo") else learner.eval_step)
   iters = max(1, args.total_steps // per_iter)
   t0 = time.time()
+  history = []
   for it in range(start_iter, iters):
     ts, metrics = step_fn(ts)
     if eval_fn is not None and ((it + 1) % args.eval_every == 0
@@ -111,16 +114,21 @@ def main(argv=None):
     if (it + 1) % args.log_every == 0 or it == iters - 1:
       metrics = {k: float(v) for k, v in metrics.items()}
       wall = time.time() - t0
-      print(json.dumps({
+      rec = {
           "iter": it + 1,
           "env_steps": (it + 1) * per_iter,
           "steps_per_s": round((it + 1 - start_iter) * per_iter / wall, 1),
           **{k: round(v, 5) for k, v in metrics.items()},
-      }), flush=True)
+      }
+      history.append(rec)
+      print(json.dumps(rec), flush=True)
     if args.checkpoint_dir and ((it + 1) % args.checkpoint_every == 0
                                 or it == iters - 1):
       path = os.path.join(args.checkpoint_dir, f"iter_{it + 1:07d}")
       checkpoint.save(path, ts)
+  if args.metrics_out:
+    with open(args.metrics_out, "w") as f:
+      json.dump({"args": vars(args), "history": history}, f, indent=1)
   return ts
 
 

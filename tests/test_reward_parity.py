@@ -184,3 +184,57 @@ def test_key_turn_parity():
   def make_aux(renv, env):
     return env.reset_aux(jax.random.PRNGKey(0))
   _run_family("myoHandKeyTurnFixed-v0", make_aux)
+
+
+# ---------------------------------------------------------------------------
+# die-reorient family (myochallenge/reorient_v0.py:14-250)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_reorient_parity():
+  def make_aux(renv, env):
+    # the reference mutates the static target body's pose at reset
+    # (reorient_v0.py:210-218); mirror that pose into our aux
+    return {
+        "goal_body_pos": jnp.asarray(np.asarray(
+            renv.sim.model.body_pos[renv.goal_bid], np.float64)),
+        "goal_body_quat": jnp.asarray(np.asarray(
+            renv.sim.model.body_quat[renv.goal_bid], np.float64)),
+    }
+  _run_family("myoChallengeDieReorientP1-v0", make_aux)
+
+
+# ---------------------------------------------------------------------------
+# relocate family (myochallenge/relocate_v0.py:14-264)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_relocate_parity():
+  def make_aux(renv, env):
+    return {
+        "goal_body_pos": jnp.asarray(np.asarray(
+            renv.sim.model.body_pos[renv.goal_bid], np.float64)),
+        "goal_body_quat": jnp.asarray(np.asarray(
+            renv.sim.model.body_quat[renv.goal_bid], np.float64)),
+    }
+  _run_family("myoChallengeRelocateP1-v0", make_aux)
+
+
+# ---------------------------------------------------------------------------
+# walk family (myobase/walk_v0.py:184-480)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_walk_parity_selected_terms():
+  """Pose-derived reward terms match; com-velocity terms are excluded —
+  the reference negates MuJoCo's com-frame cvel (walk_v0.py:447), a
+  documented deliberate deviation (we compute the physical com velocity,
+  see envs/walk.py docstring)."""
+  def make_aux(renv, env):
+    return {}
+  _run_family("myoLegWalk-v0", make_aux,
+              keys=["cyclic_hip", "ref_rot", "joint_angle_rew", "done"],
+              state_scale=0.05)
