@@ -26,6 +26,15 @@ from myosuite_mjx_tpu.engine.model import GeomType, Model
 
 _MINVAL = 1e-15
 
+# contact slots kept after top-k culling. Grasp-state measurement
+# (myoHandObjHold, fingers closed on the object) shows <= 7 candidates
+# inside the include margin and <= 20 within margin+5mm, so 24 slots keep
+# >= 3x headroom while nearly halving the constraint-system rows the
+# Newton solver streams per iteration. Overridable per call
+# (contacts(max_contacts=...) / make_data(ncon=...)).
+DEFAULT_MAX_CONTACTS = int(__import__("os").environ.get(
+    "MYOSUITE_TPU_MAX_CONTACTS", 24))
+
 
 # ---------------------------------------------------------------------------
 # static pair enumeration
@@ -193,7 +202,8 @@ def _npoints(m: Model, pair: CandidatePair) -> int:
 def contact_slot_count(m: Model, max_contacts: int | None = None) -> int:
   """Number of Contact entries Data carries (post-culling)."""
   total = sum(_npoints(m, p) for p in candidate_pairs(m))
-  k = max_contacts if max_contacts is not None else min(total, 48)
+  k = max_contacts if max_contacts is not None else min(total,
+                                                        DEFAULT_MAX_CONTACTS)
   return min(k, total)
 
 
@@ -368,24 +378,20 @@ def _ellipsoid_proj(p: jax.Array, radii: jax.Array,
   else:
     mu0 = jnp.maximum(mu_ws, lo)
 
-  def body(carry):
-    mu, _, it = carry
-    gv, dg = g_and_dg(mu)
-    mu_n = mu - gv / jnp.minimum(dg, -_MINVAL)
-    mu_n = jnp.maximum(mu_n, lo)     # stay in the valid domain
-    return mu_n, gv, it + 1
-
   # quadratic convergence stalls at the dtype's rounding floor: g is a sum
   # of squared ratios, so its noise floor is ~32 eps — a tighter tolerance
   # just runs every lane to the iteration cap (f32: 1e-6 is unreachable)
   gtol = 32.0 * jnp.finfo(p.dtype).eps
 
-  def cond(carry):
-    _, gv, it = carry
-    return (jnp.abs(gv) > gtol) & (it < iters)
-
-  mu, _, _ = jax.lax.while_loop(
-      cond, body, (mu0, jnp.ones((), p.dtype), jnp.zeros((), jnp.int32)))
+  # statically UNROLLED masked Newton: a loop primitive costs a device sync
+  # per iteration (and under vmap runs to the slowest lane anyway);
+  # quadratic convergence makes the fixed count cheap and the where-mask
+  # keeps converged lanes bit-stable
+  mu = mu0
+  for _ in range(iters):
+    gv, dg = g_and_dg(mu)
+    mu_n = jnp.maximum(mu - gv / jnp.minimum(dg, -_MINVAL), lo)
+    mu = jnp.where(jnp.abs(gv) > gtol, mu_n, mu)
   x = a2 * p / (a2 + mu)
   grad = x / a2
   n = grad / jnp.maximum(jnp.linalg.norm(grad), _MINVAL)
@@ -435,8 +441,9 @@ def _seg_surface_argmin(a_l, b_l, surf_fn, ws0, iters=12):
   f0, ws = fp(jnp.zeros((), dtype), ws0)
   f1, ws = fp(jnp.ones((), dtype), ws)
 
-  def body(i, c):
-    lo, flo, hi, fhi, ws = c
+  # statically unrolled (loop primitives cost a sync per iteration)
+  lo, flo, hi, fhi = jnp.zeros((), dtype), f0, jnp.ones((), dtype), f1
+  for i in range(iters):
     denom = fhi - flo
     sec = hi - fhi * (hi - lo) / jnp.where(
         jnp.abs(denom) < _MINVAL, jnp.inf, denom)
@@ -445,12 +452,8 @@ def _seg_surface_argmin(a_l, b_l, surf_fn, ws0, iters=12):
     s = jnp.where(use_sec, sec, mid)
     fs, ws = fp(s, ws)
     neg = fs < 0
-    return (jnp.where(neg, s, lo), jnp.where(neg, fs, flo),
-            jnp.where(neg, hi, s), jnp.where(neg, fhi, fs), ws)
-
-  lo, flo, hi, fhi, _ = jax.lax.fori_loop(
-      0, iters, body,
-      (jnp.zeros((), dtype), f0, jnp.ones((), dtype), f1, ws))
+    lo, flo, hi, fhi = (jnp.where(neg, s, lo), jnp.where(neg, fs, flo),
+                        jnp.where(neg, hi, s), jnp.where(neg, fhi, fs))
   t_root = jnp.where(jnp.abs(flo) < jnp.abs(fhi), lo, hi)
   return jnp.where(f0 >= 0, 0.0, jnp.where(f1 <= 0, 1.0, t_root))
 
@@ -464,7 +467,7 @@ def _capsule_ellipsoid(gpos1, gmat1, r1, h1, gpos2, gmat2, radii):
   b_l = gmat2.T @ (b - gpos2)
 
   def surf(p, mu):
-    x, n, dist, mu = _ellipsoid_proj(p, radii, mu_ws=mu, iters=8)
+    x, n, dist, mu = _ellipsoid_proj(p, radii, mu_ws=mu, iters=5)
     return x, n, dist, mu
 
   # first eval uses the certified cold start (ws None -> sentinel below)
@@ -1341,7 +1344,8 @@ def contacts(m: Model, d: Data, max_contacts: int | None = None):
   im_all = jnp.asarray(spec.includemargin, dtype)
   score = dist - im_all
 
-  k = max_contacts if max_contacts is not None else min(C, 48)
+  k = max_contacts if max_contacts is not None else min(C,
+                                                        DEFAULT_MAX_CONTACTS)
   k = min(k, C)
   if k < C:
     _, idx = jax.lax.top_k(-score, k)

@@ -86,38 +86,31 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
     df0 = dphi(a0)
 
     # bracket [lo, hi] with dphi(lo) <= 0 <= dphi(hi): phi' is monotone
-    # nondecreasing (phi convex); expand hi by 4x only while needed
-    def exp_cond(carry):
-      hi, df, it = carry
-      return (df < 0) & (it < 8)
-
-    def exp_body(carry):
-      hi, _, it = carry
-      hi = hi * 4.0
-      return hi, dphi(hi), it + 1
-
-    hi, _, _ = jax.lax.while_loop(
-        exp_cond, exp_body, (a0, df0, jnp.zeros((), jnp.int32)))
+    # nondecreasing (phi convex); expand hi by 16x while needed (unrolled,
+    # masked — loop primitives cost a sync per iteration)
+    hi = a0
+    dfh = df0
+    for _ in range(4):
+      grow = dfh < 0
+      hi = jnp.where(grow, hi * 16.0, hi)
+      dfh = jnp.where(grow, dphi(hi), dfh)
     lo = jnp.where(df0 < 0, a0, jnp.zeros((), dtype))
     hi = jnp.where(df0 < 0, hi, a0)
 
-    # safeguarded 1D Newton on phi' (bisection fallback keeps the bracket)
-    def body(carry):
-      lo, hi, alpha, df, it = carry
+    # safeguarded 1D Newton on phi' (bisection fallback keeps the bracket),
+    # statically unrolled with a converged mask
+    alpha, df = a0, df0
+    n_1d = min(ls_iterations, 10)
+    for _ in range(n_1d):
+      live = jnp.abs(df) > ls_tol * pmp
       step = alpha - df / jnp.maximum(ddphi(alpha), 1e-15)
       mid = 0.5 * (lo + hi)
       nxt = jnp.where((step > lo) & (step < hi), step, mid)
-      dfn = dphi(nxt)
-      lo = jnp.where(dfn < 0, nxt, lo)
-      hi = jnp.where(dfn < 0, hi, nxt)
-      return lo, hi, nxt, dfn, it + 1
-
-    def cond(carry):
-      _, _, _, df, it = carry
-      return (it < ls_iterations) & (jnp.abs(df) > ls_tol * pmp)
-
-    _, _, alpha, _, _ = jax.lax.while_loop(
-        cond, body, (lo, hi, a0, df0, jnp.zeros((), jnp.int32)))
+      nxt = jnp.where(live, nxt, alpha)
+      dfn = jnp.where(live, dphi(nxt), df)
+      lo = jnp.where(live & (dfn < 0), nxt, lo)
+      hi = jnp.where(live & (dfn >= 0), nxt, hi)
+      alpha, df = nxt, dfn
     return alpha
 
   # ---- warm start: cheaper of {previous solution, smooth acceleration} ----

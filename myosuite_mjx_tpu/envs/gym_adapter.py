@@ -58,6 +58,20 @@ class GymEnv(_GYM_BASE):
   def unwrapped_myo(self) -> MyoEnv:
     return self._env
 
+  # ---- pickling (reference pickles whole envs, tests/test_envs.py) ------
+
+  def __getstate__(self):
+    state = dict(self.__dict__)
+    # jitted callables are rebuilt on load
+    state.pop("_reset_fn", None)
+    state.pop("_step_fn", None)
+    return state
+
+  def __setstate__(self, state):
+    self.__dict__.update(state)
+    self._reset_fn = jax.jit(self._env.reset)
+    self._step_fn = jax.jit(self._env.step)
+
   @property
   def horizon(self) -> int:
     return self._env.horizon

@@ -79,6 +79,42 @@ class Trace:
         out[f"{gname}/{k}"] = v
     return out
 
+  # ---- video -------------------------------------------------------------
+
+  def render(self, output_dir: str, groups="all", datasets=("rgb",),
+             fps: int = 25, input_fps: int = 25):
+    """Stitch logged image datasets into videos, one file per
+    (group, dataset) — Trace.render parity
+    (/root/reference/myosuite/logger/grouped_datasets.py:156-236). A
+    dataset qualifies when its frames are [T, H, W, 3] uint8-able. Falls
+    back to gif when no mp4 backend exists. Returns written paths."""
+    import os
+
+    import imageio
+    os.makedirs(output_dir, exist_ok=True)
+    gkeys = list(self.trace) if groups == "all" else list(groups)
+    written = []
+    for g in gkeys:
+      for dkey in datasets:
+        if dkey not in self.trace[g]:
+          continue
+        frames = np.asarray(self.trace[g][dkey])
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+          raise ValueError(
+              f"dataset {g}/{dkey} is not [T, H, W, 3] rgb frames")
+        path = os.path.join(output_dir, f"{self.name}_{g}_{dkey}.mp4")
+        try:
+          writer = imageio.get_writer(path, fps=fps)
+        except ValueError:
+          path = os.path.splitext(path)[0] + ".gif"
+          writer = imageio.get_writer(path, fps=fps)
+        step = max(1, input_fps // fps)
+        with writer as w:
+          for f in frames[::step]:
+            w.append_data(np.asarray(f, np.uint8))
+        written.append(path)
+    return written
+
   # ---- io ----------------------------------------------------------------
 
   def save(self, path: str, verify: bool = True):
