@@ -126,14 +126,13 @@ def _combine(m: Model, g1: int, g2: int) -> CandidatePair:
       gap=float(m.geom_gap[g1]) + float(m.geom_gap[g2]))
 
 
-_pair_cache: dict[int, list[CandidatePair]] = {}
-
-
 def candidate_pairs(m: Model) -> list[CandidatePair]:
   """Static collision candidates after all model-level filters."""
-  key = id(m)
-  if key in _pair_cache:
-    return _pair_cache[key]
+  from myosuite_mjx_tpu.engine.model import derived_cache
+  return derived_cache(m, "candidate_pairs", _build_candidate_pairs)
+
+
+def _build_candidate_pairs(m: Model) -> list[CandidatePair]:
   pairs: list[CandidatePair] = []
 
   # explicit <pair> entries bypass filtering and use their own params
@@ -176,7 +175,6 @@ def candidate_pairs(m: Model) -> list[CandidatePair]:
       if og is None:
         continue
       pairs.append(_combine(m, og[0], og[1]))
-  _pair_cache[key] = pairs
   return pairs
 
 
@@ -1180,16 +1178,14 @@ class _CollisionSpec:
   condim_slot: np.ndarray    # [C] per-slot condim
 
 
-_spec_cache: dict[int, "_CollisionSpec | None"] = {}
-
-
 def _collision_spec(m: Model) -> "_CollisionSpec | None":
-  key = id(m)
-  if key in _spec_cache:
-    return _spec_cache[key]
+  from myosuite_mjx_tpu.engine.model import derived_cache
+  return derived_cache(m, "collision_spec", _build_collision_spec)
+
+
+def _build_collision_spec(m: Model) -> "_CollisionSpec | None":
   pairs = candidate_pairs(m)
   if not pairs:
-    _spec_cache[key] = None
     return None
   by_type: dict[tuple, list[CandidatePair]] = {}
   for p in pairs:
@@ -1247,18 +1243,15 @@ def _collision_spec(m: Model) -> "_CollisionSpec | None":
       solimp=np.asarray(si), includemargin=np.asarray(im),
       invweight=np.asarray(iw), inv_pyr=np.asarray(iwp), condim=condim,
       condim_slot=np.asarray(cd, np.int32))
-  _spec_cache[key] = spec
   return spec
-
-
-_hull_geo_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _hull_geometry(m: Model, dataid: int):
   """Outward-oriented hull triangles [F,3,3] + face equations [F,4]."""
-  key = (id(m), dataid)
-  if key in _hull_geo_cache:
-    return _hull_geo_cache[key]
+  from myosuite_mjx_tpu.engine.model import derived_cache
+  cache = derived_cache(m, "hull_geometry", lambda _m: {})
+  if dataid in cache:
+    return cache[dataid]
   tris = np.array(m.mesh_hull_tris[dataid])
   verts = np.array(m.mesh_hull_verts[dataid])
   centroid = verts.mean(axis=0)
@@ -1269,7 +1262,7 @@ def _hull_geometry(m: Model, dataid: int):
   n[flip] = -n[flip]
   tris[flip] = tris[flip][:, ::-1]
   eqs = np.concatenate([n, -np.sum(n * a, axis=-1, keepdims=True)], axis=-1)
-  _hull_geo_cache[key] = (tris, eqs)
+  cache[dataid] = (tris, eqs)
   return tris, eqs
 
 

@@ -78,13 +78,12 @@ class _LimitSpec:
   eq_j2: np.ndarray       # [E] (-1 for constant)
 
 
-_spec_cache: dict[int, _LimitSpec] = {}
-
-
 def _limit_spec(m: Model) -> _LimitSpec:
-  key = id(m)
-  if key in _spec_cache:
-    return _spec_cache[key]
+  from myosuite_mjx_tpu.engine.model import derived_cache
+  return derived_cache(m, "limit_spec", _build_limit_spec)
+
+
+def _build_limit_spec(m: Model) -> _LimitSpec:
   qadr, dadr, rng, mrg, invw, sr, si = [], [], [], [], [], [], []
   for j in range(m.njnt):
     if not bool(m.jnt_limited[j]):
@@ -113,7 +112,6 @@ def _limit_spec(m: Model) -> _LimitSpec:
       jl_solimp=np.asarray(si).reshape(-1, 5),
       tl_idx=np.asarray(tl, np.int32),
       eq_j1=np.asarray(eq_j1, np.int32), eq_j2=np.asarray(eq_j2, np.int32))
-  _spec_cache[key] = spec
   return spec
 
 

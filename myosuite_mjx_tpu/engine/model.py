@@ -344,16 +344,26 @@ class Model:
     raise KeyError(f"no {kind} with id {idx}")
 
 
-_hull_cache: dict[int, tuple[dict, dict]] = {}
+def derived_cache(m, name: str, builder):
+  """Per-Model derived-data cache whose lifetime is tied to the instance.
+
+  Stored on the Model object itself (frozen dataclass, so via
+  ``object.__setattr__``) instead of an ``id(m)``-keyed module dict: a
+  garbage-collected Model's id can be reused by a new Model with a
+  different topology, which would silently serve a stale layout.
+  ``dataclasses.replace``'d copies carry no cache and recompute.
+  """
+  key = "_derived_" + name
+  d = m.__dict__
+  if key not in d:
+    object.__setattr__(m, key, builder(m))
+  return d[key]
 
 
 def _mesh_hulls(mj: mujoco.MjModel, dtype) -> tuple[dict, dict]:
   """Convex hull triangles + vertices for every mesh used by a collidable
   geom. MuJoCo itself collides the convex hull of a mesh; we precompute the
   hull with scipy at convert time (host-side)."""
-  key = id(mj)
-  if key in _hull_cache:
-    return _hull_cache[key]
   tris: dict[int, np.ndarray] = {}
   verts: dict[int, np.ndarray] = {}
   needed = set()
@@ -379,7 +389,6 @@ def _mesh_hulls(mj: mujoco.MjModel, dtype) -> tuple[dict, dict]:
         hv = v
         tris[mid] = np.zeros((0, 3, 3), dtype)
       verts[mid] = hv
-  _hull_cache[key] = (tris, verts)
   return tris, verts
 
 
@@ -416,6 +425,7 @@ def from_mj(mj: mujoco.MjModel, dtype=np.float64) -> Model:
   f = lambda a: np.asarray(a, dtype=dtype).copy()
   i = lambda a: np.asarray(a, dtype=np.int32).copy()
   b = lambda a: np.asarray(a, dtype=bool).copy()
+  hull_tris, hull_verts = _mesh_hulls(mj, dtype)
 
   opt = Option(
       timestep=float(mj.opt.timestep),
@@ -560,8 +570,8 @@ def from_mj(mj: mujoco.MjModel, dtype=np.float64) -> Model:
       hfield_ncol=i(mj.hfield_ncol),
       hfield_data=f(mj.hfield_data),
       hfield_adr=i(mj.hfield_adr),
-      mesh_hull_tris=_mesh_hulls(mj, dtype)[0],
-      mesh_hull_verts=_mesh_hulls(mj, dtype)[1],
+      mesh_hull_tris=hull_tris,
+      mesh_hull_verts=hull_verts,
       qpos0=f(mj.qpos0),
       qpos_spring=f(mj.qpos_spring),
       key_qpos=f(mj.key_qpos) if mj.nkey else np.zeros((0, mj.nq), dtype),

@@ -74,9 +74,6 @@ def spatial_inertia(mass: jax.Array, inertia_diag: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-_tree_cache: dict[int, "_TreeSpec"] = {}
-
-
 class _TreeSpec:
   """Static tree layout: bodies grouped by depth, joints grouped by slot
   position within their body and by type — so FK runs as ~depth batched
@@ -114,10 +111,8 @@ class _TreeSpec:
 
 
 def _tree_spec(m: Model) -> _TreeSpec:
-  key = id(m)
-  if key not in _tree_cache:
-    _tree_cache[key] = _TreeSpec(m)
-  return _tree_cache[key]
+  from myosuite_mjx_tpu.engine.model import derived_cache
+  return derived_cache(m, "tree_spec", _TreeSpec)
 
 
 def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
@@ -455,22 +450,21 @@ def rne(m: Model, cinert: jax.Array, cdof: jax.Array, cdof_dot: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-_mask_cache: dict[int, np.ndarray] = {}
+def _build_body_dof_mask(m: Model) -> np.ndarray:
+  mask = np.zeros((m.nbody, m.nv))
+  for b in range(m.nbody):
+    i = b
+    while i > 0:
+      da, dn = int(m.body_dofadr[i]), int(m.body_dofnum[i])
+      mask[b, da:da + dn] = 1.0
+      i = int(m.body_parentid[i])
+  return mask
 
 
 def body_dof_mask(m: Model) -> np.ndarray:
   """[nbody, nv] mask: dofs on the ancestor chain of each body (static)."""
-  key = id(m)
-  if key not in _mask_cache:
-    mask = np.zeros((m.nbody, m.nv))
-    for b in range(m.nbody):
-      i = b
-      while i > 0:
-        da, dn = int(m.body_dofadr[i]), int(m.body_dofnum[i])
-        mask[b, da:da + dn] = 1.0
-        i = int(m.body_parentid[i])
-    _mask_cache[key] = mask
-  return _mask_cache[key]
+  from myosuite_mjx_tpu.engine.model import derived_cache
+  return derived_cache(m, "body_dof_mask", _build_body_dof_mask)
 
 
 def point_jac_dir(m: Model, cdof: jax.Array, points: jax.Array,

@@ -332,13 +332,12 @@ class _TendonSpec:
   wrap_groups: tuple
 
 
-_spec_cache: dict[int, _TendonSpec] = {}
-
-
 def _tendon_spec(m: Model) -> _TendonSpec:
-  key = id(m)
-  if key in _spec_cache:
-    return _spec_cache[key]
+  from myosuite_mjx_tpu.engine.model import derived_cache
+  return derived_cache(m, "tendon_spec", _build_tendon_spec)
+
+
+def _build_tendon_spec(m: Model) -> _TendonSpec:
   s0, s1, sdiv, stidx = [], [], [], []
   groups: dict[tuple, dict[str, list]] = {}
   for t in range(m.ntendon):
@@ -370,7 +369,6 @@ def _tendon_spec(m: Model) -> _TendonSpec:
       straight_div=np.asarray(sdiv),
       straight_tidx=np.asarray(stidx, np.int32),
       wrap_groups=wrap_groups)
-  _spec_cache[key] = spec
   return spec
 
 
