@@ -31,7 +31,8 @@ _MINVAL = 1e-15
 # inside the include margin and <= 20 within margin+5mm, so 24 slots keep
 # >= 3x headroom while nearly halving the constraint-system rows the
 # Newton solver streams per iteration. Overridable per call
-# (contacts(max_contacts=...) / make_data(ncon=...)).
+# (contacts(max_contacts=...) / make_data(ncon=...)); scenes that exceed
+# the cap report it via the Data.ncon_dropped diagnostic counter.
 DEFAULT_MAX_CONTACTS = int(__import__("os").environ.get(
     "MYOSUITE_TPU_MAX_CONTACTS", 24))
 
@@ -1342,8 +1343,14 @@ def contacts(m: Model, d: Data, max_contacts: int | None = None):
   k = min(k, C)
   if k < C:
     _, idx = jax.lax.top_k(-score, k)
+    # diagnostic: in-margin candidates the top-k cull discarded. top_k
+    # selects the most-negative scores, so every selected in-margin slot
+    # is counted by score[idx] < 0; the difference is what was dropped.
+    dropped = (jnp.sum(score < 0) - jnp.sum(score[idx] < 0)).astype(
+        jnp.int32)
   else:
     idx = jnp.arange(C)
+    dropped = jnp.zeros((), jnp.int32)
 
   dist_k = dist[idx]
   pos_k = pos[idx]
@@ -1414,6 +1421,7 @@ def contacts(m: Model, d: Data, max_contacts: int | None = None):
                               (k, rows_per, 2)).reshape(R, 2),
       solimp=jnp.broadcast_to(solimp[:, None, :],
                               (k, rows_per, 5)).reshape(R, 5),
+      dropped=dropped,
   )
   info = Contact(
       dist=dist_k, pos=pos_k, frame=frame, friction=fric,

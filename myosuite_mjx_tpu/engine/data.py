@@ -91,6 +91,10 @@ class Data:
   contact_force: jax.Array     # (ncon,) normal force per contact slot
   efc_force_limit: jax.Array   # (nlimit,) diagnostic
   ne_active: jax.Array         # () number of active contacts (diagnostic)
+  ncon_dropped: jax.Array      # () in-margin candidates discarded by the
+  #                                  top-k contact cull this step; nonzero
+  #                                  means max_contacts is too small for
+  #                                  this scene (fidelity loss diagnostic)
 
   # ---- sensors ----
   sensordata: jax.Array  # (nsensordata,)
@@ -171,6 +175,7 @@ def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
       contact_force=z(ncon),
       efc_force_limit=z(int(np.sum(m.jnt_limited))),
       ne_active=jnp.zeros((), jnp.int32),
+      ncon_dropped=jnp.zeros((), jnp.int32),
       sensordata=z(m.nsensordata),
       overlay={},
   )

@@ -181,5 +181,6 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     cforce = force[-nrows_contact:].reshape(ncon, rows_per).sum(axis=1)
     out = out.replace(contact=contact_info,
                       contact_force=cforce,
-                      ne_active=jnp.sum(contact_info.dist < 0))
+                      ne_active=jnp.sum(contact_info.dist < 0),
+                      ncon_dropped=contact_blocks["dropped"])
   return out

@@ -304,9 +304,19 @@ class MyoEnv:
     restart = terminated | truncated
     # unbatched env => restart is a scalar and broadcasts over every leaf
     out = jax.tree.map(lambda a, b: jnp.where(restart, a, b), fresh, nxt)
+    # Only the physics state / obs / steps / rng come from the fresh
+    # episode; the reward and reward-derived info of the terminal
+    # transition are preserved (brax AutoResetWrapper and SB3 VecEnv both
+    # return the final-step reward with the reset obs) so GAE terminal
+    # deltas and reward-normalization stats see real terminal rewards.
     return out.replace(
         done=terminated,
-        info={**out.info, "terminated": terminated, "truncated": truncated})
+        reward=nxt.reward,
+        info={**out.info,
+              "rwd_dense": nxt.info["rwd_dense"],
+              "rwd_sparse": nxt.info["rwd_sparse"],
+              "solved": nxt.info["solved"],
+              "terminated": terminated, "truncated": truncated})
 
 
 class BatchedEnv:

@@ -181,14 +181,17 @@ class PPO:
       reward = nxt.info["rwd_dense"]
       done = (nxt.info["terminated"]
               | nxt.info["truncated"]).astype(jnp.float32)
-      # running discounted return (VecNormalize reward scaling statistic)
-      ret_accum = ret_accum * cfg.gamma * (1.0 - done) + reward
+      # running discounted return (VecNormalize reward scaling statistic):
+      # accumulate first so the terminal discounted return enters the
+      # variance estimate (SB3 computes returns = returns*gamma + reward,
+      # updates stats, then zeroes at done), mask for the carry after
+      ret_accum = ret_accum * cfg.gamma + reward
       transition = dict(
           obs=obs, obs_raw=obs_raw, act=act, logp=logp, value=value,
           reward=reward, ret_accum=ret_accum, done=done,
           solved=nxt.info["solved"].astype(jnp.float32),
       )
-      return (nxt, ret_accum, key), transition
+      return (nxt, ret_accum * (1.0 - done), key), transition
 
     key, k_roll = jax.random.split(ts.key)
     (env_state, ret_accum, _), traj = jax.lax.scan(
@@ -233,9 +236,17 @@ class PPO:
     ng = (cfg.num_envs // G) * T
     # largest minibatch count compatible with the group size (== requested
     # for the default 128x50/8-group layout; shrinks gracefully for smoke
-    # configs instead of erroring)
+    # configs — with a visible warning, since it changes the effective
+    # minibatch size and therefore optimization dynamics)
     import math
     num_minibatches = math.gcd(ng, cfg.num_minibatches)
+    if num_minibatches != cfg.num_minibatches:
+      import warnings
+      warnings.warn(
+          f"num_minibatches adjusted {cfg.num_minibatches} -> "
+          f"{num_minibatches}: group size {ng} (num_envs/data_groups * "
+          f"unroll) is not divisible by the requested count",
+          stacklevel=2)
 
     def flat(x):
       x = jnp.moveaxis(x, 0, 1)                    # [B, T, ...]
@@ -333,7 +344,12 @@ class PPO:
       )
       return nxt, out
 
-    keys = jax.random.split(ts.key, num_envs)
+    # dedicated eval stream: fold a tag + the step counter into ts.key so
+    # eval episodes are decorrelated from the training rollout streams
+    # (which split ts.key directly) and differ across eval points
+    eval_key = jax.random.fold_in(
+        jax.random.fold_in(ts.key, 0x45564C), ts.steps.astype(jnp.uint32))
+    keys = jax.random.split(eval_key, num_envs)
     st0 = jax.vmap(env.reset)(keys)
     _, tr = jax.lax.scan(body, st0, (), length=num_episodes_steps)
     episodes = jnp.maximum(tr["done"].sum(), 1.0)

@@ -58,7 +58,8 @@ def main(argv=None):
         f"in {wall:.2f} s wall")
   print(f"qpos range [{qpos.min():.4f}, {qpos.max():.4f}] "
         f"finite={np.isfinite(qpos).all()} "
-        f"ncon_active={int(d.ne_active)}")
+        f"ncon_active={int(d.ne_active)} "
+        f"ncon_dropped={int(d.ncon_dropped)}")
   if args.video:
     from myosuite_mjx_tpu.utils.render import render_qpos_frames
     out = render_qpos_frames(args.model_path, frames, args.video)

@@ -23,3 +23,13 @@ import jax  # noqa: E402
 # backend initialization, so conftest must be imported before any jax op.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: env reset/step jits dominate test wall time
+# (hand/leg scenes take minutes to compile on CPU); cached executables cut
+# repeat runs to seconds. Safe across processes (content-addressed).
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
