@@ -1,32 +1,52 @@
-"""Headline benchmark: myoHand env-steps/s on one chip.
+"""Headline benchmark: myoHand FULL env-steps/s on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline = the north-star 1M aggregate env-steps/s target from BASELINE.md
 (the reference publishes no hardware numbers of its own).
 
-Methodology: one jitted vmapped physics step, dependency-chained K times
-(state feeds state, so all K executions are serialized on-device); wall
-clock over the chain / (B*K). A lax.scan wrapper would measure the same
-thing but costs >10 min of XLA compile on the 39-muscle hand graph, so
-the chain keeps compile ~1-2 min and the driver inside its budget.
+The headline measures the complete environment step of a *registered* hand
+env (myoHandPoseFixed-v0): frame_skip physics substeps + obs assembly +
+reward dict + termination + autoreset, i.e. ``jit(vmap(env.autoreset_step))``
+— the quantity an RL loop consumes. The bare engine step (one physics
+substep of myohand.xml, the metric benched in rounds 1-2) is available as
+``--engine``; one env step here is ``frame_skip`` (=10) engine steps plus
+task overhead, so the env number is ~10x smaller by construction.
 
-Run: python bench.py [--model finger|hand] [--batch N] [--steps K]
+Alongside steps/s the bench prints FLOPs/step, HBM bytes/step, and the
+derived MFU / HBM utilization from ``compiled.cost_analysis()``. Caveat:
+XLA cost analysis counts while/scan loop *bodies once* (not x trip count)
+and HLO-level bytes overcount fused intermediates, so both are approximate;
+they are printed to make every optimization's direction accountable, not as
+absolute truth. Wall-clock steps/s is the ground truth.
+
+Methodology: one jitted batched env step with donated input, dependency-
+chained K times (state feeds state, so all K executions serialize
+on-device); wall clock over the chain / (B*K). Synchronization is host
+materialization (np.asarray) — block_until_ready does not force execution
+of the dispatch queue on the tunneled TPU platform.
+
+Run: python bench.py [--env myoHandPoseFixed-v0] [--batch N] [--steps K]
+     python bench.py --engine [--model finger|hand]   # bare physics step
 """
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-sys.path.insert(0, "/root/repo")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
-from myosuite_mjx_tpu.engine import data as edata
-from myosuite_mjx_tpu.engine import forward
-from myosuite_mjx_tpu.engine import model as emodel
+# persistent compile cache: the hand env step takes minutes to compile
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 MODELS = {
     "finger": "/root/reference/myosuite/simhive/myo_sim/finger/"
@@ -35,134 +55,133 @@ MODELS = {
 }
 
 BASELINE_STEPS_PER_S = 1_000_000.0  # BASELINE.md north star (aggregate)
+# v5e-class peaks for the utilization readouts (override via env vars)
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 98.3e12))  # f32-equiv
+PEAK_HBM = float(os.environ.get("BENCH_PEAK_HBM_BYTES", 819e9))
 
 
-def breakdown(m, batch0, B, K=10):
-  """Per-stage cost table (cumulative-prefix timing; fusion-aware)."""
-  from myosuite_mjx_tpu.engine import collision
-  from myosuite_mjx_tpu.engine import constraint
-  from myosuite_mjx_tpu.engine import solver
+def _prec(fn):
+  def wrapped(*args):
+    # f32 matmul precision: the Newton/implicit-damping dense solves NaN
+    # at the TPU MXU's default bf16 pass precision
+    with jax.default_matmul_precision("highest"):
+      return fn(*args)
+  return wrapped
 
-  def jit1(fn):
-    def wrapped(d):
-      with jax.default_matmul_precision("highest"):
-        return jax.vmap(fn)(d)
-    return jax.jit(wrapped)
 
-  stages = [
-      ("position", lambda d: forward.fwd_position(m, d)),
-      ("velocity", lambda d: forward.fwd_velocity(m, d)),
-      ("actuation", lambda d: forward.fwd_actuation(m, d)),
-      ("passive", lambda d: forward.fwd_passive(m, d)),
-      ("acceleration", lambda d: forward.fwd_acceleration(m, d)),
-      ("constraint", lambda d: solver.fwd_constraint(m, d)),
-      ("integrate", lambda d: forward.euler(m, d)),
-  ]
+def _sync(x):
+  np.asarray(jax.tree.leaves(x)[0])
 
-  full = jit1(lambda d: forward.step(m, d))
-  st = full(batch0)
+
+def _cost(compiled):
+  ca = compiled.cost_analysis()
+  if isinstance(ca, list):
+    ca = ca[0] if ca else {}
+  return (float(ca.get("flops", 0.0) or 0.0),
+          float(ca.get("bytes accessed", 0.0) or 0.0))
+
+
+def _report(metric, sps, flops_step, bytes_step, extra):
+  out = {
+      "metric": metric,
+      "value": round(sps, 1),
+      "unit": "env-steps/s/chip",
+      "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
+      "flops_per_step": round(flops_step, 1),
+      "hbm_bytes_per_step": round(bytes_step, 1),
+      "mfu_pct": round(100.0 * flops_step * sps / PEAK_FLOPS, 3),
+      "hbm_util_pct": round(100.0 * bytes_step * sps / PEAK_HBM, 1),
+  }
+  out.update(extra)
+  print(json.dumps(out))
+
+
+def bench_env(args):
+  from myosuite_mjx_tpu.envs import registry
+  env = registry.make(args.env)
+  B, K = args.batch, args.steps
+  keys = jax.random.split(jax.random.PRNGKey(0), B)
+  reset = jax.jit(_prec(jax.vmap(env.reset)))
+  step = jax.jit(_prec(jax.vmap(env.autoreset_step)), donate_argnums=0)
+
+  st = reset(keys)
+  act = jnp.zeros((B, env.action_dim), jnp.float32)
+  # compile + settle into steady state (with autoreset churn)
+  st = step(st, act)
   for _ in range(5):
-    st = full(st)
-  np.asarray(st.qpos)  # force execution (block_until_ready lies on axon)
+    st = step(st, act)
+  assert not np.isnan(np.asarray(st.obs)).any(), "NaN in warmup rollout"
 
-  def time_fn(fn, d, k=K, iters=2):
-    f = jit1(fn)
-    out = f(d)
-    np.asarray(out.xpos)
-    ts = []
-    for _ in range(iters):
-      t0 = time.time()
-      out = d
-      for _ in range(k):
-        out = f(out)
-      np.asarray(out.xpos)
-      ts.append(time.time() - t0)
-    return min(ts) / k
+  times = []
+  for _ in range(3):
+    t0 = time.time()
+    for _ in range(K):
+      st = step(st, act)
+    _sync(st.reward)
+    times.append(time.time() - t0)
+  assert not np.isnan(np.asarray(st.obs)).any(), "NaN in benchmark rollout"
+  dt = min(times)
+  sps = B * K / dt
 
-  prev = 0.0
-  print(f"{'stage':>14} {'ms/step':>10} {'cum ms':>10}", file=sys.stderr)
-  for i in range(len(stages)):
-    def prefix(d, i=i):
-      for _, fn in stages[:i + 1]:
-        d = fn(d)
-      return d
-    t = time_fn(prefix, st)
-    print(f"{stages[i][0]:>14} {(t - prev)*1e3:>10.3f} {t*1e3:>10.3f}",
-          file=sys.stderr)
-    prev = t
-
-  def to_acc(d):
-    for _, fn in stages[:5]:
-      d = fn(d)
-    return d
-  base = time_fn(to_acc, st)
-  def col_only(d):
-    d = to_acc(d)
-    blocks, info = collision.contacts(m, d)
-    return d.replace(contact=info) if info is not None else d
-  t_col = time_fn(col_only, st) - base
-  print(f"{'(collision)':>14} {t_col*1e3:>10.3f}", file=sys.stderr)
+  nodon = jax.jit(_prec(jax.vmap(env.autoreset_step)))
+  flops, bytes_ = _cost(nodon.lower(st, act).compile())
+  _report("myohand_env_steps_per_s", sps, flops / B, bytes_ / B, {
+      "physics_steps_per_s": round(sps * env.frame_skip, 1),
+      "frame_skip": env.frame_skip,
+      "batch": B,
+      "env": args.env,
+  })
 
 
-def main():
-  ap = argparse.ArgumentParser()
-  ap.add_argument("--model", default="hand", choices=sorted(MODELS))
-  ap.add_argument("--batch", type=int, default=4096)
-  ap.add_argument("--steps", type=int, default=100)
-  ap.add_argument("--breakdown", action="store_true",
-                  help="print a per-stage cost table to stderr, then exit")
-  args = ap.parse_args()
+def bench_engine(args):
+  from myosuite_mjx_tpu.engine import data as edata
+  from myosuite_mjx_tpu.engine import forward
+  from myosuite_mjx_tpu.engine import model as emodel
 
   m = emodel.load_model(MODELS[args.model], dtype=np.float32)
   B, K = args.batch, args.steps
-
   with jax.default_device(jax.local_devices(backend="cpu")[0]):
     d0 = edata.make_data(m, dtype=jnp.float32)
   batch0 = jax.device_put(
       jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d0),
       jax.devices()[0])
 
-  if args.breakdown:
-    breakdown(m, batch0, B, K=min(args.steps, 10))
-    return
-
-  # f32 matmul precision: the Newton/implicit-damping dense solves NaN at
-  # the TPU MXU's default bf16 pass precision
   vstep = jax.vmap(functools.partial(forward.step, m))
+  step = jax.jit(_prec(vstep), donate_argnums=0)
 
-  def _step(d):
-    with jax.default_matmul_precision("highest"):
-      return vstep(d)
-
-  step = jax.jit(_step)
-
-  # compile + settle into contact-rich steady state.
-  # NB: synchronize via host materialization (np.asarray), NOT
-  # block_until_ready — on the tunneled TPU platform block_until_ready
-  # does not force execution of the dispatch queue.
   out = step(batch0)
   for _ in range(5):
     out = step(out)
   assert not np.isnan(np.asarray(out.qpos)).any(), "NaN in warmup rollout"
 
-  # timed: K dependency-chained steps (state feeds state)
   times = []
   for _ in range(3):
     t0 = time.time()
-    cur = out
     for _ in range(K):
-      cur = step(cur)
-    np.asarray(cur.qpos)
+      out = step(out)
+    _sync(out.qpos)
     times.append(time.time() - t0)
-  assert not np.isnan(np.asarray(cur.qpos)).any(), "NaN in benchmark rollout"
+  assert not np.isnan(np.asarray(out.qpos)).any(), "NaN in benchmark"
   dt = min(times)
   sps = B * K / dt
-  print(json.dumps({
-      "metric": f"myo{args.model}_env_steps_per_s",
-      "value": round(sps, 1),
-      "unit": "env-steps/s/chip",
-      "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
-  }))
+  flops, bytes_ = _cost(jax.jit(_prec(vstep)).lower(out).compile())
+  _report(f"myo{args.model}_engine_steps_per_s", sps, flops / B, bytes_ / B,
+          {"batch": B})
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--env", default="myoHandPoseFixed-v0")
+  ap.add_argument("--engine", action="store_true",
+                  help="bench the bare physics step instead of the env step")
+  ap.add_argument("--model", default="hand", choices=sorted(MODELS))
+  ap.add_argument("--batch", type=int, default=4096)
+  ap.add_argument("--steps", type=int, default=20)
+  args = ap.parse_args()
+  if args.engine:
+    bench_engine(args)
+  else:
+    bench_env(args)
 
 
 if __name__ == "__main__":

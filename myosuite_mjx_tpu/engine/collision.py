@@ -721,9 +721,18 @@ def _mpr_penetration(sup_m, v0):
     a12 = jnp.where(rep1, a32, a12)
     return (v1, v2, a11, a12, a21, a22, v3, a31, a32, newdone)
 
+  # block-unrolled: 4 masked iterations per fori trip — 4x less loop
+  # sync/dispatch overhead with fusion across the block, while keeping HLO
+  # size bounded (full unroll of the MPR loops made XLA compile times
+  # blow up on the hand scene)
+  def disc_block(i, c):
+    for _ in range(4):
+      c = disc_body(i, c)
+    return c
+
   z = jnp.zeros(3, dtype)
   (v1, v2, a11, a12, a21, a22, v3, a31, a32, found) = jax.lax.fori_loop(
-      0, 16, disc_body,
+      0, 4, disc_block,
       (v1, v2, a11, a12, a21, a22, z, z, z, jnp.asarray(False)))
 
   # --- portal refinement
@@ -752,8 +761,13 @@ def _mpr_penetration(sup_m, v0):
     v3, a31, a32 = put(v3, a31, a32, rep3)
     return (v1, v2, v3, a11, a12, a21, a22, a31, a32, done)
 
+  def ref_block(i, c):  # block-unrolled, see discovery loop note
+    for _ in range(4):
+      c = ref_body(i, c)
+    return c
+
   (v1, v2, v3, a11, a12, a21, a22, a31, a32, _) = jax.lax.fori_loop(
-      0, 24, ref_body,
+      0, 6, ref_block,
       (v1, v2, v3, a11, a12, a21, a22, a31, a32, jnp.asarray(False)))
 
   n = norm(jnp.cross(v2 - v1, v3 - v1))
@@ -805,8 +819,10 @@ def _mpr_penetration(sup_m, v0):
     nc = norm(nc - eta * g_t)
     return nc, bd, bn, bp
 
-  _, depth, n_c, pos = jax.lax.fori_loop(
-      0, 10, polish_body, (-n, depth, -n, pos))
+  carry = (-n, depth, -n, pos)
+  for i in range(10):  # statically unrolled, see discovery loop note
+    carry = polish_body(i, carry)
+  _, depth, n_c, pos = carry
   return hit, depth, n_c, pos
 
 
@@ -821,7 +837,8 @@ def _alternating_closest(cl1, cl2, p1, m1, s1, p2, m2, s2, iters=12):
     x_l, _, _ = cl2(s2, m2.T @ (y - p2))
     return p2 + m2 @ x_l
 
-  x = jax.lax.fori_loop(0, iters, body, x)
+  for _ in range(iters):  # statically unrolled (fixed trip count)
+    x = body(None, x)
   y_l, _, _ = cl1(s1, m1.T @ (x - p1))
   y = p1 + m1 @ y_l
   d = x - y

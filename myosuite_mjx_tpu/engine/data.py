@@ -62,7 +62,8 @@ class Data:
   geom_xpos: jax.Array   # (ngeom, 3)
   geom_xmat: jax.Array   # (ngeom, 3, 3)
   subtree_com: jax.Array  # (nbody, 3)
-  cinert: jax.Array      # (nbody, 6, 6) spatial inertia, world-origin frame
+  cinert: jax.Array      # (nbody, 10) compact world-origin spatial inertia
+  #                          (Ixx, Iyy, Izz, Ixy, Ixz, Iyz, hx, hy, hz, m)
   cdof: jax.Array        # (nv, 6) dof motion axes, world-origin frame
   ten_length: jax.Array  # (ntendon,)
   ten_J: jax.Array       # (ntendon, nv)
@@ -152,7 +153,7 @@ def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
       geom_xpos=z(m.ngeom, 3),
       geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ngeom, 1, 1)),
       subtree_com=z(m.nbody, 3),
-      cinert=z(m.nbody, 6, 6),
+      cinert=z(m.nbody, 10),
       cdof=z(m.nv, 6),
       ten_length=z(m.ntendon),
       ten_J=z(m.ntendon, m.nv),

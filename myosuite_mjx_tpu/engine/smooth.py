@@ -48,25 +48,57 @@ def force_cross(u: jax.Array, f: jax.Array) -> jax.Array:
 
 def spatial_inertia(mass: jax.Array, inertia_diag: jax.Array,
                     com: jax.Array, imat: jax.Array) -> jax.Array:
-  """6x6 spatial inertia about the world origin.
+  """Compact world-origin spatial inertia, 10 components (mjData.cinert
+  layout idea): (Ixx, Iyy, Izz, Ixy, Ixz, Iyz, hx, hy, hz, m) where
+  h = m * com and I = R D R^T + m (|c|^2 E - c c^T).
 
-  mass: (), inertia_diag: (3,) principal moments, com: (3,) world com,
-  imat: (3,3) world orientation of the principal axes.
+  Deliberately elementwise — the earlier 6x6 form built from 3x3 matmuls
+  forced padded TPU tilings ([..., 3, 3] dot_generals pad 3 -> 128 lanes)
+  plus layout-conversion copies that dominated the kinematics stage.
+
+  mass: [...], inertia_diag: [..., 3], com: [..., 3], imat: [..., 3, 3].
   """
-  ic = imat @ (inertia_diag[:, None] * imat.T)  # rotated 3x3 inertia at com
-  cx = qmath.cross_matrix(com)
-  eye = jnp.eye(3, dtype=com.dtype)
-  top_left = ic + mass * (cx @ cx.T)
-  top_right = mass * cx
-  bottom_left = mass * cx.T
-  bottom_right = mass * eye
-  return jnp.concatenate(
-      [
-          jnp.concatenate([top_left, top_right], axis=1),
-          jnp.concatenate([bottom_left, bottom_right], axis=1),
-      ],
-      axis=0,
-  )
+  R = imat
+  D = inertia_diag
+  c = com
+
+  def ic(a, b):
+    return (R[..., a, 0] * D[..., 0] * R[..., b, 0]
+            + R[..., a, 1] * D[..., 1] * R[..., b, 1]
+            + R[..., a, 2] * D[..., 2] * R[..., b, 2])
+
+  c2 = c[..., 0] * c[..., 0] + c[..., 1] * c[..., 1] + c[..., 2] * c[..., 2]
+  comp = [
+      ic(0, 0) + mass * (c2 - c[..., 0] * c[..., 0]),
+      ic(1, 1) + mass * (c2 - c[..., 1] * c[..., 1]),
+      ic(2, 2) + mass * (c2 - c[..., 2] * c[..., 2]),
+      ic(0, 1) - mass * c[..., 0] * c[..., 1],
+      ic(0, 2) - mass * c[..., 0] * c[..., 2],
+      ic(1, 2) - mass * c[..., 1] * c[..., 2],
+      mass * c[..., 0],
+      mass * c[..., 1],
+      mass * c[..., 2],
+      mass * jnp.ones_like(c2),
+  ]
+  return jnp.stack(comp, axis=-1)
+
+
+def inert_mul(c10: jax.Array, v: jax.Array) -> jax.Array:
+  """f = I v for compact spatial inertia c10 [..., 10] and motion vector
+  v = [w; u] [..., 6]: f_ang = I w + h x u, f_lin = m u - h x w."""
+  Ixx, Iyy, Izz = c10[..., 0], c10[..., 1], c10[..., 2]
+  Ixy, Ixz, Iyz = c10[..., 3], c10[..., 4], c10[..., 5]
+  h = c10[..., 6:9]
+  mass = c10[..., 9]
+  w, u = v[..., :3], v[..., 3:]
+  iw = jnp.stack([
+      Ixx * w[..., 0] + Ixy * w[..., 1] + Ixz * w[..., 2],
+      Ixy * w[..., 0] + Iyy * w[..., 1] + Iyz * w[..., 2],
+      Ixz * w[..., 0] + Iyz * w[..., 1] + Izz * w[..., 2],
+  ], axis=-1)
+  ang = iw + jnp.cross(h, u)
+  lin = mass[..., None] * u - jnp.cross(h, w)
+  return jnp.concatenate([ang, lin], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -213,21 +245,24 @@ def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
     xanchor = jnp.zeros((0, 3), dtype)
     xaxis = jnp.zeros((0, 3), dtype)
 
-  # inertial frames
+  # inertial frames / sites / geoms — all composed in quaternion space
+  # (quat_mul + quat_rotate + quat_to_mat are elementwise; [..., 3, 3]
+  # matmuls force padded TPU tilings and layout-conversion copies)
   ipos = jnp.asarray(m.body_ipos, dtype)
   iquat = jnp.asarray(m.body_iquat, dtype)
-  xipos = xpos + jnp.einsum("bij,bj->bi", xmat, ipos)
-  ximat = xmat @ qmath.quat_to_mat(iquat)
+  xipos = xpos + qmath.quat_rotate(xquat, ipos)
+  ximat = qmath.quat_to_mat(qmath.quat_mul(xquat, iquat))
 
-  # sites / geoms: static gathers over body ids
   sb = m.site_bodyid
-  site_xpos = xpos[sb] + jnp.einsum(
-      "bij,bj->bi", xmat[sb], jnp.asarray(m.site_pos, dtype))
-  site_xmat = xmat[sb] @ qmath.quat_to_mat(jnp.asarray(m.site_quat, dtype))
+  site_xpos = xpos[sb] + qmath.quat_rotate(
+      xquat[sb], jnp.asarray(m.site_pos, dtype))
+  site_xmat = qmath.quat_to_mat(
+      qmath.quat_mul(xquat[sb], jnp.asarray(m.site_quat, dtype)))
   gb = m.geom_bodyid
-  geom_xpos = xpos[gb] + jnp.einsum(
-      "bij,bj->bi", xmat[gb], jnp.asarray(m.geom_pos, dtype))
-  geom_xmat = xmat[gb] @ qmath.quat_to_mat(jnp.asarray(m.geom_quat, dtype))
+  geom_xpos = xpos[gb] + qmath.quat_rotate(
+      xquat[gb], jnp.asarray(m.geom_pos, dtype))
+  geom_xmat = qmath.quat_to_mat(
+      qmath.quat_mul(xquat[gb], jnp.asarray(m.geom_quat, dtype)))
 
   return dict(
       xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
@@ -241,7 +276,7 @@ def kinematics(m: Model, qpos: jax.Array, mocap_pos: jax.Array,
 
 
 def com_pos(m: Model, kin: dict, overlay: dict | None = None):
-  """subtree_com, cinert (world-origin 6x6), cdof (world-origin axes).
+  """subtree_com, cinert (world-origin compact [nbody, 10]), cdof.
 
   ``overlay['body_mass']`` (domain randomization) overrides the static
   masses; inertia tensors stay nominal, matching the reference's
@@ -265,7 +300,7 @@ def com_pos(m: Model, kin: dict, overlay: dict | None = None):
   subtree_com = wsum / jnp.maximum(msum, 1e-12)[:, None]
 
   inertia = jnp.asarray(m.body_inertia, dtype)
-  cinert = jax.vmap(spatial_inertia)(mass, inertia, xipos, ximat)
+  cinert = spatial_inertia(mass, inertia, xipos, ximat)
 
   # dof motion axes at world origin, vectorized by joint type
   cdof = jnp.zeros((max(m.nv, 1), 6), dtype)
@@ -331,8 +366,11 @@ def crb(m: Model, cinert: jax.Array, cdof: jax.Array) -> jax.Array:
   for ids, parents in reversed(spec.levels):
     csub = csub.at[parents].add(csub[ids])
   # F_i = I_subtree(body(dof_i)) @ cdof_i  -> [nv, 6]
-  F = jnp.einsum("nab,nb->na", csub[m.dof_bodyid], cdof)
-  lower = (F @ cdof.T) * jnp.asarray(_ancestor_mask(m), dtype)
+  F = inert_mul(csub[m.dof_bodyid], cdof)
+  # unrolled 6-contraction: sum_k F[:, k] outer cdof[:, k] — stays
+  # elementwise/fusible instead of a tiny-contraction dot_general
+  lower = sum(F[..., k, None] * cdof[..., k][None, :] for k in range(6))
+  lower = lower * jnp.asarray(_ancestor_mask(m), dtype)
   qM = lower + lower.T - jnp.diag(jnp.diag(lower))
   return qM + jnp.diag(jnp.asarray(m.dof_armature, dtype))
 
@@ -431,9 +469,8 @@ def rne(m: Model, cinert: jax.Array, cdof: jax.Array, cdof_dot: jax.Array,
   for ids, parents in spec.levels:
     cacc = cacc.at[ids].set(cacc[parents] + dotsum[ids])
 
-  mom = jnp.einsum("nab,nb->na", cinert, cvel)
-  cfrc = (jnp.einsum("nab,nb->na", cinert, cacc)
-          + force_cross(cvel, mom))
+  mom = inert_mul(cinert, cvel)
+  cfrc = inert_mul(cinert, cacc) + force_cross(cvel, mom)
   cfrc = cfrc.at[0].set(0.0)
   for ids, parents in reversed(spec.levels):
     keep = parents > 0

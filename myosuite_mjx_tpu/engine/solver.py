@@ -121,7 +121,7 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
     qacc, prev_cost, improvement, it = carry
     return (it < iterations) & (improvement > tol)
 
-  def nt_body(carry):
+  def nt_iter(carry):
     qacc, prev_cost, _, it = carry
     jar = J @ qacc - aref
     w = weights(jar)
@@ -138,6 +138,19 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
             jnp.where(take, new_cost, prev_cost),
             improvement,
             it + 1)
+
+  # 4 Newton iterations per while trip (statically unrolled block): the
+  # per-env update masks make extra iterations past convergence no-ops, so
+  # block-unrolling only changes how often the batch-wide exit test runs —
+  # one trip's worth of loop sync/dispatch overhead now covers 4 iterations,
+  # and XLA fuses across the unrolled block. Typical warmstarted solves
+  # need <= 8 iterations (docs/solver_convergence.md), i.e. 1-2 trips.
+  _BLOCK = 4
+
+  def nt_body(carry):
+    for _ in range(_BLOCK):
+      carry = nt_iter(carry)
+    return carry
 
   c0 = cost(start)
   qacc, _, _, niter = jax.lax.while_loop(

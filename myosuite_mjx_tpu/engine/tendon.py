@@ -160,7 +160,9 @@ def wrap_inside_circle(p0: jax.Array, p1: jax.Array, r: jax.Array,
     return th - grad / jnp.maximum(jnp.abs(hess), _EPS) * jnp.sign(
         jnp.where(hess == 0, 1.0, hess))
 
-  theta = jax.lax.fori_loop(0, iters, body, theta0)
+  theta = theta0
+  for _ in range(iters):  # statically unrolled: fusible straight-line code
+    theta = body(None, theta)
   T = r[..., None] * jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
   return wrapped, T, T, jnp.zeros_like(r)
 

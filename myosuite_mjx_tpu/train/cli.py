@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                        "(ppo only; 0 disables)")
   ap.add_argument("--metrics-out", default=None,
                   help="write the full metrics history as JSON here")
+  ap.add_argument("--logdir", default=None,
+                  help="per-iteration metrics sink: <logdir>/metrics.jsonl "
+                       "+ tensorboard events (sb3_job_script.py:21-45 "
+                       "observability parity)")
   return ap
 
 
@@ -106,13 +110,25 @@ def main(argv=None):
   iters = max(1, args.total_steps // per_iter)
   t0 = time.time()
   history = []
+  from myosuite_mjx_tpu.train import metrics as metrics_mod
+  writer = metrics_mod.MetricsWriter(args.logdir) if args.logdir else None
   for it in range(start_iter, iters):
     ts, metrics = step_fn(ts)
     if eval_fn is not None and ((it + 1) % args.eval_every == 0
                                 or it == iters - 1):
       metrics = {**metrics, **eval_fn(ts)}
-    if (it + 1) % args.log_every == 0 or it == iters - 1:
+    log_now = (it + 1) % args.log_every == 0 or it == iters - 1
+    if log_now or writer is not None:
       metrics = {k: float(v) for k, v in metrics.items()}
+      # divergence guard: emergency-checkpoint, then abort loudly
+      try:
+        metrics_mod.check_finite(metrics, where=f"iter {it + 1}")
+      except metrics_mod.DivergenceError:
+        if args.checkpoint_dir:
+          checkpoint.save(
+              os.path.join(args.checkpoint_dir,
+                           f"diverged_iter_{it + 1:07d}"), ts)
+        raise
       wall = time.time() - t0
       rec = {
           "iter": it + 1,
@@ -120,12 +136,17 @@ def main(argv=None):
           "steps_per_s": round((it + 1 - start_iter) * per_iter / wall, 1),
           **{k: round(v, 5) for k, v in metrics.items()},
       }
-      history.append(rec)
-      print(json.dumps(rec), flush=True)
+      if writer is not None:
+        writer.write(rec["env_steps"], rec)
+      if log_now:
+        history.append(rec)
+        print(json.dumps(rec), flush=True)
     if args.checkpoint_dir and ((it + 1) % args.checkpoint_every == 0
                                 or it == iters - 1):
       path = os.path.join(args.checkpoint_dir, f"iter_{it + 1:07d}")
       checkpoint.save(path, ts)
+  if writer is not None:
+    writer.close()
   if args.metrics_out:
     with open(args.metrics_out, "w") as f:
       json.dump({"args": vars(args), "history": history}, f, indent=1)

@@ -1,0 +1,80 @@
+"""Training metrics sinks and divergence guard.
+
+Replaces the reference's SB3 tensorboard/wandb observability surface
+(/root/reference/myosuite/agents/sb3_job_script.py:21-45) with a
+dependency-light append-only jsonl writer plus an optional tensorboard
+event stream (via the baked-in ``tensorboardX``); both record the same
+per-iteration metric dicts the trainers emit.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import IO
+
+
+class DivergenceError(RuntimeError):
+  """Raised when training produces non-finite losses/params."""
+
+
+def check_finite(metrics: dict, where: str = "train_step") -> None:
+  """Raise DivergenceError if any scalar metric is NaN/Inf.
+
+  The trainers call this on the host-side metric dict each iteration —
+  one cheap device->host sync that catches solver blowups, lr spikes, and
+  reward-scale bugs before they silently corrupt a long run.
+  """
+  bad = {k: v for k, v in metrics.items()
+         if isinstance(v, (int, float)) and not math.isfinite(v)}
+  if bad:
+    raise DivergenceError(f"non-finite metrics in {where}: {bad}")
+
+
+class MetricsWriter:
+  """Append-only metrics sink: jsonl always, tensorboard if available.
+
+  Usage:
+      w = MetricsWriter(logdir)
+      w.write(step, {"loss": 0.3, "reward_mean": 1.2})
+      w.close()
+  """
+
+  def __init__(self, logdir: str, tensorboard: bool = True):
+    self.logdir = logdir
+    os.makedirs(logdir, exist_ok=True)
+    self._jsonl: IO = open(os.path.join(logdir, "metrics.jsonl"), "a")
+    self._tb = None
+    if tensorboard:
+      try:
+        from tensorboardX import SummaryWriter
+        self._tb = SummaryWriter(logdir=logdir)
+      except Exception:  # tensorboardX missing/broken: jsonl still works
+        self._tb = None
+    self._t0 = time.time()
+
+  def write(self, step: int, metrics: dict) -> None:
+    rec = {"step": int(step), "wall": round(time.time() - self._t0, 3)}
+    for k, v in metrics.items():
+      try:
+        rec[k] = float(v)
+      except (TypeError, ValueError):
+        rec[k] = v
+    self._jsonl.write(json.dumps(rec) + "\n")
+    self._jsonl.flush()
+    if self._tb is not None:
+      for k, v in rec.items():
+        if k not in ("step",) and isinstance(v, float):
+          self._tb.add_scalar(k, v, int(step))
+
+  def close(self) -> None:
+    self._jsonl.close()
+    if self._tb is not None:
+      self._tb.close()
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *exc):
+    self.close()

@@ -363,12 +363,16 @@ class PPO:
 
   def train(self, total_env_steps: int, seed: int = 0,
             progress: Callable | None = None,
-            eval_every: int = 0):
+            eval_every: int = 0,
+            writer=None):
     """Run training; returns (TrainState, list of metric dicts).
 
     eval_every > 0 runs a deterministic-policy eval_step every that many
-    iterations and merges its metrics into the history.
+    iterations and merges its metrics into the history. ``writer`` is an
+    optional metrics.MetricsWriter. Non-finite losses abort with
+    metrics.DivergenceError instead of silently corrupting the run.
     """
+    from myosuite_mjx_tpu.train import metrics as metrics_mod
     cfg = self.cfg
 
     def _prec(fn):
@@ -389,10 +393,15 @@ class PPO:
       ts, metrics = step_fn(ts)
       if eval_every and ((it + 1) % eval_every == 0 or it == iters - 1):
         metrics = {**metrics, **eval_fn(ts)}
+      metrics = {k: float(v) for k, v in metrics.items()}
+      metrics_mod.check_finite(metrics, where=f"PPO iter {it}")
+      metrics["wall"] = time.time() - t0
+      metrics["env_steps"] = (it + 1) * per_iter
+      metrics["steps_per_s"] = round((it + 1) * per_iter
+                                     / max(metrics["wall"], 1e-9), 1)
+      history.append(metrics)
+      if writer is not None:
+        writer.write(metrics["env_steps"], metrics)
       if progress is not None:
-        metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["wall"] = time.time() - t0
-        metrics["env_steps"] = (it + 1) * per_iter
-        history.append(metrics)
         progress(it, metrics)
     return ts, history

@@ -251,7 +251,12 @@ class SAC:
   # ---- training loop -------------------------------------------------------
 
   def train(self, total_env_steps: int, seed: int = 0,
-            progress: Callable | None = None):
+            progress: Callable | None = None, writer=None,
+            check_every: int = 50):
+    """Non-finite losses abort with metrics.DivergenceError (checked every
+    ``check_every`` iters — SAC iterations are single env steps, so a
+    per-iteration host sync would serialize the device queue)."""
+    from myosuite_mjx_tpu.train import metrics as metrics_mod
     step_fn = jax.jit(self.train_step)
     ts = self.init(seed)
     iters = max(1, total_env_steps // self.cfg.num_envs)
@@ -259,10 +264,16 @@ class SAC:
     t0 = time.time()
     for it in range(iters):
       ts, metrics = step_fn(ts)
-      if progress is not None:
+      sync = (progress is not None or writer is not None
+              or (it + 1) % check_every == 0 or it == iters - 1)
+      if sync:
         metrics = {k: float(v) for k, v in metrics.items()}
+        metrics_mod.check_finite(metrics, where=f"SAC iter {it}")
         metrics["wall"] = time.time() - t0
         metrics["env_steps"] = (it + 1) * self.cfg.num_envs
-        history.append(metrics)
-        progress(it, metrics)
+        if writer is not None:
+          writer.write(metrics["env_steps"], metrics)
+        if progress is not None:
+          history.append(metrics)
+          progress(it, metrics)
     return ts, history
