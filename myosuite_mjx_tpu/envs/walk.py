@@ -122,7 +122,7 @@ class WalkEnv(MyoEnv):
 
   def _setup(self, min_height=0.8, max_rot=0.8, hip_period=100,
              reset_type="init", target_x_vel=0.0, target_y_vel=1.2,
-             target_rot=None, **kwargs):
+             target_rot=None, com_vel_type="physical", **kwargs):
     super()._setup(**kwargs)
     if self.move_terrain_away and "terrain" in self.model.names["geom"]:
       import dataclasses as _dc
@@ -151,6 +151,10 @@ class WalkEnv(MyoEnv):
         m.jnt_qposadr[m.name2id("joint", n)]
         for n in ("hip_adduction_l", "hip_adduction_r",
                   "hip_rotation_l", "hip_rotation_r")])
+    if com_vel_type not in ("physical", "reference"):
+      raise ValueError(f"com_vel_type must be physical|reference, "
+                       f"got {com_vel_type!r}")
+    self.com_vel_type = com_vel_type
     self._mass = np.asarray(m.body_mass)
     self._total_mass = float(self._mass.sum())
 
@@ -179,9 +183,18 @@ class WalkEnv(MyoEnv):
     return (self._mass[:, None] * data.xipos).sum(0) / self._total_mass
 
   def _com_vel_xy(self, data):
-    # v(xipos_i) from world-origin spatial velocity, mass-weighted
     ang = data.cvel[:, :3]
     lin = data.cvel[:, 3:]
+    if self.com_vel_type == "reference":
+      # reference-exact mode (walk_v0.py:442-449): the reference mass-
+      # averages MuJoCo's *negated* com-frame cvel linear rows. MuJoCo
+      # anchors cvel at subtree_com[rootid]; with one kinematic tree that
+      # anchor is the whole-model com, so re-anchor our world-origin
+      # spatial velocity there and negate.
+      com = self._com(data)
+      v = lin + jnp.cross(ang, jnp.broadcast_to(com, ang.shape))
+      return -(self._mass[:, None] * v).sum(0)[:2] / self._total_mass
+    # v(xipos_i) from world-origin spatial velocity, mass-weighted
     v = lin + jnp.cross(ang, data.xipos)
     return (self._mass[:, None] * v).sum(0)[:2] / self._total_mass
 

@@ -48,3 +48,25 @@ def test_construct_and_trace(env_id):
   st3 = jax.eval_shape(env.autoreset_step, st, act)
   assert jax.tree_util.tree_structure(st3) == \
       jax.tree_util.tree_structure(st2)
+
+
+@pytest.mark.parametrize("env_id", ALL_IDS)
+def test_numeric_reset_step(env_id):
+  """Numeric reset + one step + finiteness for EVERY registered ID —
+  behavior-level coverage matching the reference's every-ID sweep
+  (/root/reference/myosuite/tests/test_envs.py:33-129), which runs each
+  env rather than only tracing it. Runs eagerly (no whole-env jit): the
+  physics scan body is the only compiled piece and its cache key is the
+  model, so the ~190 myodm hand IDs share one compile instead of paying
+  XLA for 334 hand-scale programs."""
+  env = envs.make(env_id)
+  st = env.reset(jax.random.PRNGKey(0))
+  obs = np.asarray(st.obs)
+  assert np.isfinite(obs).all(), "non-finite obs at reset"
+
+  act = jnp.zeros((env.action_dim,), jnp.float32)
+  st2 = env.step(st, act)
+  assert np.isfinite(np.asarray(st2.obs)).all(), "non-finite obs after step"
+  assert np.isfinite(float(st2.reward)), "non-finite reward"
+  for k in ("rwd_dense", "rwd_sparse"):
+    assert np.isfinite(np.asarray(st2.info[k])).all(), f"non-finite {k}"

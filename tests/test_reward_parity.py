@@ -49,23 +49,27 @@ def _ref_state(renv, rng, scale=0.2):
   return qpos, qvel, act
 
 
-def _ref_rwd(renv, qpos, qvel, act):
+def _ref_rwd(renv, qpos, qvel, act, time=None):
   renv.sim.data.qpos[:] = qpos
   renv.sim.data.qvel[:] = qvel
   if renv.sim.model.na:
     renv.sim.data.act[:] = act
+  if time is not None:
+    renv.sim.data.time = time
   renv.sim.forward()
   renv.forward()
   return {k: np.squeeze(np.asarray(v, np.float64))
           for k, v in renv.rwd_dict.items()}
 
 
-def _our_rwd(env, qpos, qvel, act, aux):
+def _our_rwd(env, qpos, qvel, act, aux, time=None):
   st = env.reset_to(jnp.asarray(qpos), jnp.asarray(qvel),
                     jax.random.PRNGKey(0), aux=aux)
   d = st.data
   if env.model.na:
     d = d.replace(act=jnp.asarray(act, d.act.dtype))
+  if time is not None:
+    d = d.replace(time=jnp.asarray(time, d.qpos.dtype))
   obs = env.get_obs_dict(d, st.aux)
   rwd = env.get_reward_dict(obs, d, st.aux)
   out = {k: np.squeeze(np.asarray(v, np.float64)) for k, v in rwd.items()}
@@ -238,3 +242,245 @@ def test_walk_parity_selected_terms():
   _run_family("myoLegWalk-v0", make_aux,
               keys=["cyclic_hip", "ref_rot", "joint_angle_rew", "done"],
               state_scale=0.05)
+
+
+@pytest.mark.slow
+def test_walk_parity_reference_com_vel():
+  """Opt-in reference-exact com-velocity mode (com_vel_type="reference",
+  walk_v0.py:442-449 negated com-frame cvel): every reward term incl.
+  vel_reward/sparse/solved must now match the reference."""
+  renv = _ref_make("myoLegWalk-v0")
+  env = envs.make("myoLegWalk-v0", dtype=jnp.float64,
+                  com_vel_type="reference")
+  rng = np.random.default_rng(11)
+  for _ in range(5):
+    qpos, qvel, act = _ref_state(renv, rng, scale=0.05)
+    ref = _ref_rwd(renv, qpos, qvel, act)
+    ours = _our_rwd(env, qpos, qvel, act, {})
+    _compare(ref, ours,
+             keys=["vel_reward", "cyclic_hip", "ref_rot",
+                   "joint_angle_rew", "sparse", "solved", "done"])
+
+
+@pytest.mark.slow
+def test_terrain_walk_parity():
+  """Terrain walk (walk_v0.py:490-650 TerrainEnvV0) shares WalkEnvV0's
+  reward stack; check it end-to-end on the hfield model in the
+  reference-exact com-velocity mode."""
+  renv = _ref_make("myoLegRoughTerrainWalk-v0")
+  env = envs.make("myoLegRoughTerrainWalk-v0", dtype=jnp.float64,
+                  com_vel_type="reference")
+  rng = np.random.default_rng(13)
+  aux = env.reset_aux(jax.random.PRNGKey(0))
+  for _ in range(3):
+    qpos, qvel, act = _ref_state(renv, rng, scale=0.05)
+    ref = _ref_rwd(renv, qpos, qvel, act)
+    ours = _our_rwd(env, qpos, qvel, act, aux)
+    _compare(ref, ours,
+             keys=["vel_reward", "cyclic_hip", "ref_rot",
+                   "joint_angle_rew", "sparse", "solved"])
+
+
+# ---------------------------------------------------------------------------
+# baoding family (myochallenge/baoding_v1.py:25-410)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_baoding_parity():
+  """Targets and rewards vs the reference's goal trajectory: the target
+  angles come from the reference's own ``goal`` array (created by
+  create_goal_trajectory, baoding_v1.py:391-410); the site placement
+  mirrors the reference step()'s writes (baoding_v1.py:148-178)."""
+  renv = _ref_make("myoChallengeBaodingP1-v1")
+  renv.reset(seed=0, time_period=5.0)
+  env = envs.make("myoChallengeBaodingP1-v1", dtype=jnp.float64)
+  sign = {0: 0.0, 1: -1.0, 2: 1.0}[int(renv.which_task.value)]
+  aux = {
+      "sign": jnp.asarray(sign, jnp.float64),
+      "angle1": jnp.asarray(float(renv.ball_1_starting_angle), jnp.float64),
+      "x_radius": jnp.asarray(float(renv.x_radius), jnp.float64),
+      "y_radius": jnp.asarray(float(renv.y_radius), jnp.float64),
+      "time_period": jnp.asarray(5.0, jnp.float64),
+  }
+  rng = np.random.default_rng(17)
+  mj = renv.sim.model
+  for k in (0, 3, 11, 29, 57):
+    # mirror the reference step()'s target-site placement from ITS goal
+    ang = renv.goal[k].copy()
+    ang[0] += renv.ball_1_starting_angle
+    ang[1] += renv.ball_2_starting_angle
+    mj.site_pos[renv.target1_sid, 0] = \
+        renv.x_radius * np.cos(ang[0]) + renv.center_pos[0]
+    mj.site_pos[renv.target1_sid, 1] = \
+        renv.y_radius * np.sin(ang[0]) + renv.center_pos[1]
+    mj.site_pos[renv.target2_sid, 0] = \
+        renv.x_radius * np.cos(ang[1]) + renv.center_pos[0]
+    mj.site_pos[renv.target2_sid, 1] = \
+        renv.y_radius * np.sin(ang[1]) + renv.center_pos[1]
+    t = k * renv.dt
+    qpos, qvel, act = _ref_state(renv, rng)
+    ref = _ref_rwd(renv, qpos, qvel, act, time=t)
+    ours = _our_rwd(env, qpos, qvel, act, aux, time=t)
+    _compare(ref, ours, keys=["pos_dist_1", "pos_dist_2", "act_reg",
+                              "sparse", "solved", "done", "dense"])
+
+
+# ---------------------------------------------------------------------------
+# bimanual family (myochallenge/bimanual_v0.py:24-633)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_bimanual_parity():
+  renv = _ref_make("myoChallengeBimanual-v0")
+  env = envs.make("myoChallengeBimanual-v0", dtype=jnp.float64)
+  aux = {
+      "start_pos": jnp.asarray(np.asarray(renv.start_pos, np.float64)),
+      "goal_pos": jnp.asarray(np.asarray(renv.goal_pos, np.float64)),
+      "goal_touch": jnp.zeros((), jnp.int32),
+      "max_force": jnp.zeros((), jnp.float64),
+  }
+  rng = np.random.default_rng(19)
+  keys = ["reach_dist", "act", "fin_open", "fin_dis", "lift_bonus",
+          "lift_height", "pass_err", "goal_dist", "sparse"]
+  for _ in range(5):
+    qpos, qvel, act = _ref_state(renv, rng)
+    renv.goal_touch = 0
+    ref = _ref_rwd(renv, qpos, qvel, act)
+    ours = _our_rwd(env, qpos, qvel, act, aux)
+    _compare(ref, ours, keys=keys)
+
+
+@pytest.mark.slow
+def test_bimanual_touching_body_parity():
+  """Contact classification (get_touching_objects/body_id_to_label,
+  bimanual_v0.py:584-633) vs our fixed-slot classification at the settled
+  initial state (object resting on the start pillar)."""
+  renv = _ref_make("myoChallengeBimanual-v0")
+  env = envs.make("myoChallengeBimanual-v0", dtype=jnp.float64)
+  aux = {
+      "start_pos": jnp.asarray(np.asarray(renv.start_pos, np.float64)),
+      "goal_pos": jnp.asarray(np.asarray(renv.goal_pos, np.float64)),
+      "goal_touch": jnp.zeros((), jnp.int32),
+      "max_force": jnp.zeros((), jnp.float64),
+  }
+  qpos = renv.sim.data.qpos.copy()
+  qvel = np.zeros_like(renv.sim.data.qvel)
+  renv.sim.data.qvel[:] = 0
+  renv.sim.forward()
+  renv.forward()
+  ref_vec = np.asarray(renv.obs_dict["touching_body"], np.float64).squeeze()
+  st = env.reset_to(jnp.asarray(qpos), jnp.asarray(qvel),
+                    jax.random.PRNGKey(0), aux=aux)
+  our_vec = np.asarray(env._touching_vec(st.data), np.float64)
+  np.testing.assert_array_equal(our_vec, ref_vec)
+
+
+# ---------------------------------------------------------------------------
+# chasetag family (myochallenge/chasetag_v0.py:24-963)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_chasetag_parity():
+  renv = _ref_make("myoChallengeChaseTagP1-v0")
+  renv.startFlag = True
+  env = envs.make("myoChallengeChaseTagP1-v0", dtype=jnp.float64)
+  base_aux = env.reset_aux(jax.random.PRNGKey(0))
+  opp = np.asarray(renv.opponent.get_opponent_pose(), np.float64)
+  aux = {**base_aux,
+         "task": jnp.asarray(0, jnp.int32),  # CHASE (P1 fixed task)
+         "opp_pose": jnp.asarray(opp)}
+  rng = np.random.default_rng(23)
+  # times with exact 2-decimal values: the reference rounds the score's
+  # time to 2 decimals (chasetag_v0.py _get_score)
+  for t in (0.0, 4.25, 19.5, 20.0):
+    qpos, qvel, act = _ref_state(renv, rng, scale=0.05)
+    ref = _ref_rwd(renv, qpos, qvel, act, time=t)
+    ours = _our_rwd(env, qpos, qvel, act, aux, time=t)
+    _compare(ref, ours, keys=["act_reg", "distance", "lose", "sparse",
+                              "solved", "done"])
+
+
+# ---------------------------------------------------------------------------
+# run-track / OSL family (myochallenge/run_track_v0.py:14-640)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_run_track_parity():
+  renv = _ref_make("myoChallengeOslRunFixed-v0")
+  renv.startFlag = True
+  env = envs.make("myoChallengeOslRunFixed-v0", dtype=jnp.float64)
+  aux = env.reset_aux(jax.random.PRNGKey(0))
+  rng = np.random.default_rng(29)
+  for _ in range(3):
+    qpos, qvel, act = _ref_state(renv, rng, scale=0.05)
+    ref = _ref_rwd(renv, qpos, qvel, act)
+    ours = _our_rwd(env, qpos, qvel, act, aux)
+    _compare(ref, ours, keys=["act_reg", "sparse", "solved"])
+    # pain sums limit-constraint forces: solver-dependent, so compare at
+    # a loose tolerance (both engines solve the same convex problem)
+    np.testing.assert_allclose(ours["pain"], ref["pain"], atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# myodm track family (myodm/myodm_v0.py:253-310)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_myodm_track_parity():
+  """TrackEnv rewards at clip-grid time 0 (interpolation there is exact in
+  both implementations; off-grid times hit the reference's documented
+  interp bug, see logger/reference_motion.py docstring)."""
+  env_id = "MyoHandAirplaneFly-v0"
+  renv = _ref_make(env_id)
+  env = envs.make(env_id, dtype=jnp.float64)
+  rng = np.random.default_rng(31)
+  for _ in range(5):
+    qpos, qvel, act = _ref_state(renv, rng, scale=0.1)
+    ref = _ref_rwd(renv, qpos, qvel, act, time=0.0)
+    ours = _our_rwd(env, qpos, qvel, act, {}, time=0.0)
+    _compare(ref, ours, keys=["pose", "object", "bonus", "penalty",
+                              "sparse"])
+
+
+# ---------------------------------------------------------------------------
+# SAR reorient family (myobase/reorient_sar_v0.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_reorient_sar_parity():
+  """Geometries8: sync the sampled geometry (type/size/marker offset) and
+  the target orientation from the reference's reset, then compare the
+  full reward stack."""
+  renv = _ref_make("myoHandReorient8-v0")
+  env = envs.make("myoHandReorient8-v0", dtype=jnp.float64)
+  mj = renv.sim.model
+  # geom type -> our TABLES index (capsule, ellipsoid, cylinder, box)
+  type_map = {3: 0, 4: 1, 5: 2, 6: 3}
+  type_idx = type_map[int(mj.geom_type[renv.obj_gid])]
+  pen_length = float(getattr(renv, "pen_length"))
+  marker_sep = float(np.linalg.norm(
+      mj.geom_pos[renv.obj_t_gid] - mj.geom_pos[renv.obj_b_gid]))
+  renv.sim.forward()
+  des_rot = (np.asarray(renv.sim.data.geom_xpos[renv.tar_t_gid])
+             - np.asarray(renv.sim.data.geom_xpos[renv.tar_b_gid])) \
+      / float(renv.tar_length)
+  aux = {
+      "type_idx": jnp.asarray(type_idx, jnp.int32),
+      "size": jnp.asarray(np.asarray(mj.geom_size[renv.obj_gid],
+                                     np.float64)),
+      "scale": jnp.asarray(marker_sep / pen_length, jnp.float64),
+      "des_rot": jnp.asarray(des_rot, jnp.float64),
+  }
+  rng = np.random.default_rng(37)
+  for _ in range(5):
+    qpos, qvel, act = _ref_state(renv, rng)
+    ref = _ref_rwd(renv, qpos, qvel, act)
+    ours = _our_rwd(env, qpos, qvel, act, aux)
+    _compare(ref, ours, keys=["pos_align", "rot_align", "act_reg", "drop",
+                              "bonus", "sparse", "solved", "done"])
