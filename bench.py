@@ -7,10 +7,12 @@ Baseline = the north-star 1M aggregate env-steps/s target from BASELINE.md
 The headline measures the complete environment step of a *registered* hand
 env (myoHandPoseFixed-v0): frame_skip physics substeps + obs assembly +
 reward dict + termination + autoreset, i.e. ``jit(vmap(env.autoreset_step))``
-— the quantity an RL loop consumes. The bare engine step (one physics
-substep of myohand.xml, the metric benched in rounds 1-2) is available as
-``--engine``; one env step here is ``frame_skip`` (=10) engine steps plus
-task overhead, so the env number is ~10x smaller by construction.
+— the quantity an RL loop consumes. It is reported at PHYSICS-STEP
+granularity (control-steps/s x frame_skip) because the baseline's
+"env step" is the reference MJX env.step = one physics step
+(mjx/play.py:37-47); control-step rate is in the same JSON line. The bare
+engine step (one physics substep of myohand.xml, no task overhead — the
+metric benched in rounds 1-2) is available as ``--engine``.
 
 Alongside steps/s the bench prints FLOPs/step, HBM bytes/step, and the
 derived MFU / HBM utilization from ``compiled.cost_analysis()``. Caveat:
@@ -125,12 +127,23 @@ def bench_env(args):
 
   nodon = jax.jit(_prec(jax.vmap(env.autoreset_step)))
   flops, bytes_ = _cost(nodon.lower(st, act).compile())
-  _report("myohand_env_steps_per_s", sps, flops / B, bytes_ / B, {
-      "physics_steps_per_s": round(sps * env.frame_skip, 1),
-      "frame_skip": env.frame_skip,
-      "batch": B,
-      "env": args.env,
-  })
+  # Headline in BASELINE granularity: the reference MJX env's step() is ONE
+  # physics step (mjx/play.py:37-47), so the 1M-aggregate north star counts
+  # physics-rate env steps. Our env packs frame_skip substeps per control
+  # step; the comparable number is control-steps/s * frame_skip, measured
+  # through the FULL env pipeline (obs/reward/termination/autoreset
+  # included). Control-step rate is reported alongside.
+  fs = env.frame_skip
+  _report("myohand_env_steps_per_s", sps * fs,
+          flops / (B * fs), bytes_ / (B * fs), {
+              "granularity": "physics-step (reference MJX env.step = "
+                             "1 physics step)",
+              "control_steps_per_s": round(sps, 1),
+              "frame_skip": fs,
+              "batch": B,
+              "env": args.env,
+              "pipeline": "full env step (obs+reward+termination+autoreset)",
+          })
 
 
 def bench_engine(args):

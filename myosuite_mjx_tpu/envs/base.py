@@ -60,6 +60,7 @@ class MyoEnv:
                dtype=jnp.float32,
                muscle_condition: str = "",
                fatigue_reset_random: bool = False,
+               visual_keys: list | None = None,
                **task_kwargs):
     self.model = model_mod.load_model(model_path, dtype=np.float64)
     self.model_path = model_path
@@ -83,6 +84,12 @@ class MyoEnv:
       self.obs_keys.append("act")
     self.rwd_keys_wt = dict(weighted_reward_keys or
                             self.DEFAULT_RWD_KEYS_AND_WEIGHTS)
+    # visual obs (reference env_base.py:419-510 get_visuals): rendering is
+    # host-side by design (SURVEY.md §2.2), so visual features live on the
+    # host obs path — `get_visuals(state)` / `obs_with_visuals(state)` —
+    # while the jitted step keeps the proprioceptive vector
+    self.visual_keys = list(visual_keys or [])
+    self._visual_obs = None  # lazy: holds a host MuJoCo renderer
     self.dt = m.opt.timestep * frame_skip
 
     # init pose: mean of ranges for linearly-actuated joints
@@ -137,6 +144,38 @@ class MyoEnv:
   def obsdict2obsvec(self, obs_dict: dict) -> jax.Array:
     return jnp.concatenate(
         [jnp.atleast_1d(obs_dict[k]).ravel() for k in self.obs_keys])
+
+  # ---- visual obs (host path) --------------------------------------------
+
+  def get_visuals(self, state: "EnvState") -> dict:
+    """Render + encode this env's ``visual_keys`` at the given state.
+
+    Host-side (MuJoCo offscreen EGL renderer + pluggable encoders); the
+    capability twin of the reference's in-obs ``get_visuals``
+    (env_base.py:419-510). Returns {} when the env has no visual keys."""
+    if not self.visual_keys:
+      return {}
+    if self._visual_obs is None:
+      from myosuite_mjx_tpu.envs.visual import VisualObs
+      self._visual_obs = VisualObs(self, self.visual_keys)
+    return self._visual_obs.get_visuals(
+        np.asarray(state.data.qpos), np.asarray(state.data.qvel))
+
+  def obs_with_visuals(self, state: "EnvState") -> np.ndarray:
+    """Full observation vector: jitted proprioceptive obs followed by the
+    rendered visual features, in ``visual_keys`` order (env_base.py:392-417
+    obs assembly with visual keys appended)."""
+    parts = [np.asarray(state.obs, np.float32).ravel()]
+    vis = self.get_visuals(state)
+    parts += [np.asarray(vis[k], np.float32).ravel()
+              for k in self.visual_keys]
+    return np.concatenate(parts)
+
+  def __getstate__(self):
+    # the lazy VisualObs holds an unpicklable GL renderer; rebuild on demand
+    st = self.__dict__.copy()
+    st["_visual_obs"] = None
+    return st
 
   # ---- core pure functions ----------------------------------------------
 

@@ -388,3 +388,10 @@ for _tid, _terrain, _variant in [
                        {"muscle_condition": "sarcopenia"})
   register_env_variant(_tid, "myoFati" + _tid[3:],
                        {"muscle_condition": "fatigue"})
+
+# ---- visual-obs variant (reference env_base.py:419-510 visual_keys) --------
+# One registered rgb task: proprioceptive obs from the jitted step plus
+# host-rendered rgb features via env.get_visuals / env.obs_with_visuals.
+register_env_variant(
+    "myoFingerPoseFixed-v0", "myoFingerPoseFixedRGB-v0",
+    {"visual_keys": ["rgb:free:32x32:1d", "rgb:free:32x32:flax_cnn"]})

@@ -63,3 +63,26 @@ def test_get_visuals_end_to_end():
   assert not np.allclose(vdict["rgb:free:32x32:1d"],
                          v2["rgb:free:32x32:1d"])
   vo.close()
+
+
+@pytest.mark.slow
+def test_visual_keys_in_env_obs():
+  """visual_keys= on a registered env: rendered features are part of the
+  host obs vector (env_base.py:419-510 in-obs visual parity)."""
+  from myosuite_mjx_tpu import envs
+  import jax
+  env = envs.make("myoFingerPoseFixedRGB-v0")
+  assert env.visual_keys == [
+      "rgb:free:32x32:1d", "rgb:free:32x32:flax_cnn"]
+  st = env.reset(jax.random.PRNGKey(0))
+  vdict = env.get_visuals(st)
+  assert vdict["rgb:free:32x32:1d"].shape == (32 * 32 * 3,)
+  assert vdict["rgb:free:32x32:flax_cnn"].shape == (64,)
+  full = env.obs_with_visuals(st)
+  # proprio prefix is the jitted obs, visual features appended in key order
+  n = st.obs.shape[0]
+  np.testing.assert_allclose(full[:n], np.asarray(st.obs), rtol=1e-6)
+  assert full.shape == (n + 32 * 32 * 3 + 64,)
+  # encoder output present and finite (flax_cnn tail)
+  assert np.isfinite(full).all()
+  assert np.abs(full[n + 32 * 32 * 3:]).sum() > 0
