@@ -114,6 +114,14 @@ def bench_env(args):
     st = step(st, act)
   assert not np.isnan(np.asarray(st.obs)).any(), "NaN in warmup rollout"
 
+  if args.profile:
+    # device-level trace (op timeline / HBM traffic) for xprof/tensorboard
+    with jax.profiler.trace(args.profile):
+      for _ in range(5):
+        st = step(st, act)
+      _sync(st.reward)
+    print(f"# profiler trace written to {args.profile}", file=sys.stderr)
+
   times = []
   for _ in range(3):
     t0 = time.time()
@@ -190,6 +198,9 @@ def main():
   ap.add_argument("--model", default="hand", choices=sorted(MODELS))
   ap.add_argument("--batch", type=int, default=4096)
   ap.add_argument("--steps", type=int, default=20)
+  ap.add_argument("--profile", default=None, metavar="DIR",
+                  help="capture a jax.profiler device trace of 5 env "
+                       "steps into DIR (view with tensorboard/xprof)")
   args = ap.parse_args()
   if args.engine:
     bench_engine(args)

@@ -118,6 +118,7 @@ def main(argv=None):
                       if hasattr(learner, "ppo") else learner.eval_step)
   iters = max(1, args.total_steps // per_iter)
   t0 = time.time()
+  last_t, last_steps = t0, start_iter * per_iter
   history = []
   from myosuite_mjx_tpu.train import metrics as metrics_mod
   writer = metrics_mod.MetricsWriter(args.logdir) if args.logdir else None
@@ -138,11 +139,17 @@ def main(argv=None):
               os.path.join(args.checkpoint_dir,
                            f"diverged_iter_{it + 1:07d}"), ts)
         raise
-      wall = time.time() - t0
+      now = time.time()
+      steps_now = (it + 1) * per_iter
+      # instantaneous rate over the logging window (a cumulative average
+      # would stay skewed by the one-time train-step compile for hours)
+      rate = (steps_now - last_steps) / max(now - last_t, 1e-9)
+      last_t, last_steps = now, steps_now
       rec = {
           "iter": it + 1,
-          "env_steps": (it + 1) * per_iter,
-          "steps_per_s": round((it + 1 - start_iter) * per_iter / wall, 1),
+          "env_steps": steps_now,
+          "wall_s": round(now - t0, 2),
+          "steps_per_s": round(rate, 1),
           **{k: round(v, 5) for k, v in metrics.items()},
       }
       if writer is not None:

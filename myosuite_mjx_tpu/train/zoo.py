@@ -1,0 +1,99 @@
+"""Pretrained-policy zoo: self-contained policy snapshots + loader.
+
+Capability parity with the reference's trained-baselines distribution
+(/root/reference/myosuite/agents/__init__.py + sb3 zoo pickles consumed by
+utils/examine_env.py --policy_path): a snapshot carries everything needed
+to act — network params, architecture, and the observation-normalization
+statistics the policy was trained under (without which a VecNormalize-
+style policy is garbage at inference) — as one pickle of numpy arrays,
+loadable with no trainer state.
+
+Zoo layout: ``train_artifacts/zoo/<env_id>.pkl``; ``load_baseline`` looks
+up snapshots by registered env ID. Checked-in snapshots are produced by
+``save_snapshot`` from a live ``PPO`` trainer + ``TrainState``.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ZOO_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "train_artifacts", "zoo")
+
+
+def save_snapshot(path: str, ppo, ts, env_id: str) -> dict:
+  """Freeze a PPO TrainState into a self-contained policy snapshot."""
+  snap = {
+      "format": "myosuite_mjx_tpu/policy-v1",
+      "env_id": env_id,
+      "act_dim": int(ppo.net.act_dim),
+      "hidden": tuple(ppo.cfg.hidden),
+      "normalize_obs": bool(ppo.cfg.normalize_obs),
+      "norm_clip": float(ppo.cfg.norm_clip),
+      "params": jax.tree.map(np.asarray, ts.params),
+      "obs_mean": np.asarray(ts.obs_norm.mean),
+      "obs_var": np.asarray(ts.obs_norm.var),
+      "env_steps": int(ts.steps),
+  }
+  os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+  with open(path, "wb") as f:
+    pickle.dump(snap, f)
+  return snap
+
+
+class Policy:
+  """Deterministic inference policy from a snapshot: obs -> action.
+
+  ``act`` is a pure jittable function of the observation (normalization
+  folded in), so it vmaps over batched envs.
+  """
+
+  def __init__(self, snap: dict):
+    from myosuite_mjx_tpu.train.ppo import ActorCritic
+    self.snap = snap
+    self.env_id = snap["env_id"]
+    self.net = ActorCritic(act_dim=snap["act_dim"],
+                           hidden=tuple(snap["hidden"]))
+    self._params = jax.tree.map(jnp.asarray, snap["params"])
+    self._mean = jnp.asarray(snap["obs_mean"])
+    self._var = jnp.asarray(snap["obs_var"])
+    self._norm = bool(snap.get("normalize_obs", False))
+    self._clip = float(snap.get("norm_clip", 10.0))
+
+  def act(self, obs: jax.Array, key=None) -> jax.Array:
+    if self._norm:
+      obs = jnp.clip((obs - self._mean) / jnp.sqrt(self._var + 1e-8),
+                     -self._clip, self._clip)
+    mean, _, _ = self.net.apply(self._params, obs)
+    return jnp.clip(mean, -1.0, 1.0)
+
+  __call__ = act
+
+
+def load_policy(path: str) -> Policy:
+  with open(path, "rb") as f:
+    snap = pickle.load(f)
+  if not (isinstance(snap, dict) and "params" in snap):
+    raise ValueError(f"{path} is not a policy snapshot "
+                     "(expected dict with 'params')")
+  return Policy(snap)
+
+
+def list_baselines() -> list:
+  if not os.path.isdir(ZOO_DIR):
+    return []
+  return sorted(f[:-4] for f in os.listdir(ZOO_DIR) if f.endswith(".pkl"))
+
+
+def load_baseline(env_id: str) -> Policy:
+  """Load the checked-in pretrained policy for a registered env ID."""
+  path = os.path.join(ZOO_DIR, f"{env_id}.pkl")
+  if not os.path.isfile(path):
+    raise FileNotFoundError(
+        f"no zoo baseline for {env_id!r}; available: {list_baselines()}")
+  return load_policy(path)

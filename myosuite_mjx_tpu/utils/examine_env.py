@@ -29,10 +29,15 @@ def random_policy(env, rng):
 
 
 def params_policy(env, path):
-  """Policy from saved PPO params (train.ppo checkpoint)."""
+  """Policy from a zoo snapshot (train.zoo, carries obs-norm stats) or a
+  bare pickled PPO params pytree."""
   from myosuite_mjx_tpu.train.ppo import ActorCritic
   with open(path, "rb") as f:
     params = pickle.load(f)
+  if isinstance(params, dict) and "params" in params \
+      and "format" in params:
+    from myosuite_mjx_tpu.train.zoo import Policy
+    return Policy(params).act
   net = ActorCritic(act_dim=env.model.nu)
 
   def act(obs, key):

@@ -24,12 +24,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-force CPU: the host sitecustomize pre-sets JAX_PLATFORMS=axon,cpu
+# (a setdefault would silently leave this tool fighting the real TPU chip)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
