@@ -142,11 +142,16 @@ def bench_env(args):
   # through the FULL env pipeline (obs/reward/termination/autoreset
   # included). Control-step rate is reported alongside.
   fs = env.frame_skip
-  _report("myohand_env_steps_per_s", sps * fs,
+  _report("myohand_physics_steps_per_s", sps * fs,
           flops / (B * fs), bytes_ / (B * fs), {
-              "granularity": "physics-step (reference MJX env.step = "
-                             "1 physics step)",
+              "granularity": "physics-step; the 1M north-star counts raw "
+                             "mjx.step calls (mjx/play.py:37-47). The "
+                             "reference's MJX *env* packs n_frames=5 "
+                             "physics steps per env.step (myodm_v0.py:"
+                             "45-46); at that granularity this run is "
+                             "env_steps_per_s_at_n_frames5.",
               "control_steps_per_s": round(sps, 1),
+              "env_steps_per_s_at_n_frames5": round(sps * fs / 5.0, 1),
               "frame_skip": fs,
               "batch": B,
               "env": args.env,

@@ -90,6 +90,9 @@ class Data:
   # ---- constraints ----
   contact: Contact
   contact_force: jax.Array     # (ncon,) normal force per contact slot
+  contact_force_vec: jax.Array  # (ncon, 3) world-frame force on body2
+  #                                (normal + translational friction rows
+  #                                 recombined; force-sensor input)
   efc_force_limit: jax.Array   # (nlimit,) diagnostic
   ne_active: jax.Array         # () number of active contacts (diagnostic)
   ncon_dropped: jax.Array      # () in-margin candidates discarded by the
@@ -174,6 +177,7 @@ def make_data(m: Model, dtype=jnp.float32, ncon: int | None = None) -> Data:
       qfrc_constraint=z(m.nv),
       contact=contact,
       contact_force=z(ncon),
+      contact_force_vec=z(ncon, 3),
       efc_force_limit=z(int(np.sum(m.jnt_limited))),
       ne_active=jnp.zeros((), jnp.int32),
       ncon_dropped=jnp.zeros((), jnp.int32),

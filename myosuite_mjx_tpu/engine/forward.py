@@ -302,14 +302,25 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
 
-def forward(m: Model, d: Data) -> Data:
-  """Full forward dynamics at the current state."""
+def forward(m: Model, d: Data, constraint: bool = True) -> Data:
+  """Full forward dynamics at the current state.
+
+  ``constraint=False`` skips collision + the Newton solve and takes the
+  smooth acceleration (contact/limit forces zero, contact slots inactive).
+  Used by env resets of contact-light tasks where neither obs nor reward
+  reads contact state: the autoreset path folds a full reset into EVERY
+  env step, so its forward's cost is on the hot path (mj_forward with
+  mjSTAGE semantics is the reference analogue, robot.py:573-598 always
+  pays the full pipeline).
+  """
   d = fwd_position(m, d)
   d = fwd_velocity(m, d)
   d = fwd_actuation(m, d)
   d = fwd_passive(m, d)
   d = fwd_acceleration(m, d)
   from myosuite_mjx_tpu.engine import solver  # cycle-free late import
+  if not constraint:
+    return solver.smooth_only(m, d)
   d = solver.fwd_constraint(m, d)
   return d
 

@@ -60,30 +60,28 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
     dx = qacc - x0
     return 0.5 * (dx @ (qM @ dx) + jnp.sum(w * jar * jar))
 
-  def grad_at(qacc, jar, w):
-    return qM @ (qacc - x0) + J.T @ (w * jar)
+  def linesearch(p, jar, qMdx, mp):
+    """Exact-ish 1D minimization of the piecewise-quadratic along p.
 
-  def linesearch(qacc, p, jar):
-    """Exact-ish 1D minimization of the piecewise-quadratic along p."""
+    Every evaluation returns (phi', phi'') in ONE pass over the constraint
+    rows (they share jar_a and the active-set weights), halving the row
+    traffic of separate dphi/ddphi calls — the line search runs ~12 row
+    passes per Newton iteration and was the solver's dominant cost.
+    """
     jp = J @ p
-    mp = qM @ p
-    pmx = p @ (qM @ (qacc - x0))
+    pmx = p @ qMdx
     pmp = jnp.maximum(p @ mp, 1e-15)
 
-    def dphi(alpha):
+    def dphi_ddphi(alpha):
       jar_a = jar + alpha * jp
-      w = weights(jar_a)
-      return pmx + alpha * pmp + jnp.sum(w * jar_a * jp)
-
-    def ddphi(alpha):
-      jar_a = jar + alpha * jp
-      w = weights(jar_a)
-      return pmp + jnp.sum(w * jp * jp)
+      wjp = weights(jar_a) * jp
+      return (pmx + alpha * pmp + jnp.sum(wjp * jar_a),
+              pmp + jnp.sum(wjp * jp))
 
     # initial guess: unconstrained-quadratic minimizer along p
-    a0 = -dphi(jnp.zeros((), dtype)) / ddphi(jnp.zeros((), dtype))
-    a0 = jnp.maximum(a0, jnp.asarray(1e-10, dtype))
-    df0 = dphi(a0)
+    d0, dd0 = dphi_ddphi(jnp.zeros((), dtype))
+    a0 = jnp.maximum(-d0 / dd0, jnp.asarray(1e-10, dtype))
+    df0, ddf0 = dphi_ddphi(a0)
 
     # bracket [lo, hi] with dphi(lo) <= 0 <= dphi(hi): phi' is monotone
     # nondecreasing (phi convex); expand hi by 16x while needed (unrolled,
@@ -93,48 +91,60 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
     for _ in range(4):
       grow = dfh < 0
       hi = jnp.where(grow, hi * 16.0, hi)
-      dfh = jnp.where(grow, dphi(hi), dfh)
+      dfh = jnp.where(grow, dphi_ddphi(hi)[0], dfh)
     lo = jnp.where(df0 < 0, a0, jnp.zeros((), dtype))
     hi = jnp.where(df0 < 0, hi, a0)
 
     # safeguarded 1D Newton on phi' (bisection fallback keeps the bracket),
     # statically unrolled with a converged mask
-    alpha, df = a0, df0
+    alpha, df, ddf = a0, df0, ddf0
     n_1d = min(ls_iterations, 10)
     for _ in range(n_1d):
       live = jnp.abs(df) > ls_tol * pmp
-      step = alpha - df / jnp.maximum(ddphi(alpha), 1e-15)
+      step = alpha - df / jnp.maximum(ddf, 1e-15)
       mid = 0.5 * (lo + hi)
       nxt = jnp.where((step > lo) & (step < hi), step, mid)
       nxt = jnp.where(live, nxt, alpha)
-      dfn = jnp.where(live, dphi(nxt), df)
+      dfn, ddfn = dphi_ddphi(nxt)
+      dfn = jnp.where(live, dfn, df)
+      ddf = jnp.where(live, ddfn, ddf)
       lo = jnp.where(live & (dfn < 0), nxt, lo)
       hi = jnp.where(live & (dfn >= 0), nxt, hi)
       alpha, df = nxt, dfn
-    return alpha
+    return alpha, jp, mp
 
   # ---- warm start: cheaper of {previous solution, smooth acceleration} ----
   ws = d.qacc_warmstart
   start = jnp.where(cost(ws) < cost(x0), ws, x0)
 
   def nt_cond(carry):
-    qacc, prev_cost, improvement, it = carry
+    qacc, jar, qMdx, prev_cost, improvement, it = carry
     return (it < iterations) & (improvement > tol)
 
+  # jar = J qacc - aref and qMdx = M (qacc - x0) are carried across Newton
+  # iterations (updated incrementally from the line-search direction
+  # products) so each iteration does exactly one J matvec (J p) and one M
+  # matvec (M p) instead of three
   def nt_iter(carry):
-    qacc, prev_cost, _, it = carry
-    jar = J @ qacc - aref
+    qacc, jar, qMdx, prev_cost, _, it = carry
     w = weights(jar)
-    grad = grad_at(qacc, jar, w)
+    grad = qMdx + J.T @ (w * jar)
     H = qM + (J.T * w) @ J
     p = -linalg.spd_solve(H, grad)
-    alpha = linesearch(qacc, p, jar)
+    alpha, jp, mp = linesearch(p, jar, qMdx, qM @ p)
     improved = jnp.dot(grad, p) < -1e-16
-    qacc_new = jnp.where(improved, qacc + alpha * p, qacc)
-    new_cost = cost(qacc_new)
+    alpha = jnp.where(improved, alpha, 0.0)
+    qacc_new = qacc + alpha * p
+    jar_new = jar + alpha * jp
+    qMdx_new = qMdx + alpha * mp
+    w_new = weights(jar_new)
+    new_cost = 0.5 * ((qacc_new - x0) @ qMdx_new
+                      + jnp.sum(w_new * jar_new * jar_new))
     improvement = prev_cost - new_cost
     take = improvement > 0
     return (jnp.where(take, qacc_new, qacc),
+            jnp.where(take, jar_new, jar),
+            jnp.where(take, qMdx_new, qMdx),
             jnp.where(take, new_cost, prev_cost),
             improvement,
             it + 1)
@@ -152,14 +162,26 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
       carry = nt_iter(carry)
     return carry
 
-  c0 = cost(start)
-  qacc, _, _, niter = jax.lax.while_loop(
+  jar0 = J @ start - aref
+  qMdx0 = qM @ (start - x0)
+  c0 = 0.5 * ((start - x0) @ qMdx0 + jnp.sum(weights(jar0) * jar0 * jar0))
+  qacc, jar, _, _, _, niter = jax.lax.while_loop(
       nt_cond, nt_body,
-      (start, c0, jnp.full((), jnp.inf, dtype), jnp.zeros((), jnp.int32)))
-  jar = J @ qacc - aref
-  w = weights(jar)
-  force = -w * jar
+      (start, jar0, qMdx0, c0, jnp.full((), jnp.inf, dtype),
+       jnp.zeros((), jnp.int32)))
+  force = -weights(jar) * jar
   return qacc, force, niter
+
+
+def smooth_only(m: Model, d: Data) -> Data:
+  """Constraint-free acceleration: qacc = qacc_smooth, no contact forces.
+
+  The cheap tail of the forward pipeline for callers that skip collision
+  + the Newton solve (see forward.forward(constraint=False))."""
+  return d.replace(
+      qfrc_constraint=jnp.zeros_like(d.qfrc_smooth),
+      qacc=d.qacc_smooth,
+      qacc_warmstart=d.qacc_smooth)
 
 
 def fwd_constraint(m: Model, d: Data) -> Data:
@@ -191,9 +213,24 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     ncon = contact_info.dist.shape[0]
     nrows_contact = contact_blocks["J"].shape[0]
     rows_per = nrows_contact // max(ncon, 1)
-    cforce = force[-nrows_contact:].reshape(ncon, rows_per).sum(axis=1)
+    lam = force[-nrows_contact:].reshape(ncon, rows_per)   # [ncon, rows]
+    cforce = lam.sum(axis=1)
+    # full 3D world-frame contact force on body2 (force-sensor input,
+    # mjData.cfrc_ext analogue): pyramid rows jn +- mu jf recombine to
+    # f_n = sum lam, f_ti = mu_i (lam_i+ - lam_i-); only the two
+    # translational friction dims carry force (rot rows carry torque)
+    fr = contact_info.frame                                # [ncon, 3, 3]
+    f_local = [cforce]
+    for i in range(min(rows_per // 2, 2)):
+      f_local.append(contact_info.friction[:, i]
+                     * (lam[:, 2 * i] - lam[:, 2 * i + 1]))
+    while len(f_local) < 3:
+      f_local.append(jnp.zeros_like(cforce))
+    fvec = jnp.stack(f_local, axis=1)                      # [ncon, 3]
+    force_world = jnp.einsum("cd,cdk->ck", fvec, fr)
     out = out.replace(contact=contact_info,
                       contact_force=cforce,
+                      contact_force_vec=force_world,
                       ne_active=jnp.sum(contact_info.dist < 0),
                       ncon_dropped=contact_blocks["dropped"])
   return out

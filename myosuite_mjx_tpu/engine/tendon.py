@@ -120,7 +120,7 @@ def wrap_circle(p0: jax.Array, p1: jax.Array, sd: jax.Array | None,
 
 
 def wrap_inside_circle(p0: jax.Array, p1: jax.Array, r: jax.Array,
-                       iters: int = 16):
+                       iters: int = 10):
   """Inside wrap (side site inside the geom): tendon threads the ring.
 
   When the straight segment misses the circle, the path catches on the near
@@ -435,18 +435,28 @@ def tendon(m: Model, kin: dict, cdof: jax.Array):
     pe = jnp.concatenate(p_end)
     bs = np.concatenate(b_start)
     be = np.concatenate(b_end)
-    div = jnp.asarray(np.concatenate(divs), dtype)
+    div_np = np.concatenate([np.asarray(v, np.float64) for v in divs])
     tidx = np.concatenate(tidxs)
+    S = len(tidx)
 
     d = pe - ps
     ln = jnp.linalg.norm(d, axis=-1)
     u = d / jnp.maximum(ln, _EPS)[:, None]
-    ten_length = ten_length.at[tidx].add(ln / div)
+    # segment -> tendon accumulation as a static selection matmul instead
+    # of a scatter-add: TPU scatters serialize, a [ntendon, S] dense dot
+    # rides the MXU. sel folds 1/div; the signed variant folds the
+    # end-minus-start difference so BOTH jacobian endpoint contributions
+    # come from ONE fused point_jac_dir call over the 2S stacked points.
+    sel = np.zeros((m.ntendon, S))
+    sel[tidx, np.arange(S)] = 1.0 / div_np
+    ten_length = ten_length + jnp.asarray(sel, dtype) @ ln
 
-    rows_end = smooth.point_jac_dir(m, cdof, pe, be, u)    # [S, nv]
-    rows_start = smooth.point_jac_dir(m, cdof, ps, bs, u)
-    contrib = (rows_end - rows_start) / div[:, None]
-    ten_J = jnp.zeros((m.ntendon, m.nv), dtype).at[tidx].add(contrib)
+    p2 = jnp.concatenate([pe, ps])
+    b2 = np.concatenate([be, bs])
+    u2 = jnp.concatenate([u, u])
+    rows = smooth.point_jac_dir(m, cdof, p2, b2, u2)       # [2S, nv]
+    sel2 = np.concatenate([sel, -sel], axis=1)             # [ntendon, 2S]
+    ten_J = jnp.asarray(sel2, dtype) @ rows
   else:
     ten_J = jnp.zeros((m.ntendon, m.nv), dtype)
 

@@ -50,6 +50,13 @@ class MyoEnv:
 
   DEFAULT_OBS_KEYS: list = []
   DEFAULT_RWD_KEYS_AND_WEIGHTS: dict = {}
+  # Whether reset's forward pass must solve constraints. autoreset_step
+  # folds a full reset into EVERY env step, so tasks whose obs/reward/aux
+  # never read contact state at reset (pose/reach families) set this False
+  # and skip collision + the Newton solve there (~1 of 11 forward passes
+  # on the hot path). Contact-consuming tasks (touch sensors, GRF obs,
+  # touching-body classification) MUST keep it True.
+  RESET_CONSTRAINT: bool = True
 
   def __init__(self, model_path: str, frame_skip: int = 10,
                obs_keys: list | None = None,
@@ -155,11 +162,16 @@ class MyoEnv:
     (env_base.py:419-510). Returns {} when the env has no visual keys."""
     if not self.visual_keys:
       return {}
+    qpos = np.asarray(state.data.qpos)
+    if qpos.ndim != 1:
+      raise ValueError(
+          f"get_visuals expects an unbatched EnvState (qpos ndim 1, got "
+          f"shape {qpos.shape}); index one env out of the batch first, "
+          "e.g. jax.tree.map(lambda x: x[i], state)")
     if self._visual_obs is None:
       from myosuite_mjx_tpu.envs.visual import VisualObs
       self._visual_obs = VisualObs(self, self.visual_keys)
-    return self._visual_obs.get_visuals(
-        np.asarray(state.data.qpos), np.asarray(state.data.qvel))
+    return self._visual_obs.get_visuals(qpos, np.asarray(state.data.qvel))
 
   def obs_with_visuals(self, state: "EnvState") -> np.ndarray:
     """Full observation vector: jitted proprioceptive obs followed by the
@@ -261,7 +273,8 @@ class MyoEnv:
     overlay = self.reset_overlay(k_state, aux)
     if overlay:
       d = d.replace(overlay=overlay)
-    d = forward_mod.forward(self.model, d)
+    d = forward_mod.forward(self.model, d,
+                            constraint=self.RESET_CONSTRAINT)
     aux = self.post_reset_aux(d, aux, k_aux)
     return self._mk_state(d, rng, aux, 0)
 
@@ -284,7 +297,8 @@ class MyoEnv:
     overlay = self.reset_overlay(rng, aux)
     if overlay:
       d = d.replace(overlay=overlay)
-    d = forward_mod.forward(self.model, d)
+    d = forward_mod.forward(self.model, d,
+                            constraint=self.RESET_CONSTRAINT)
     aux = self.post_reset_aux(d, aux, k_aux)
     return self._mk_state(d, rng, aux, 0)
 

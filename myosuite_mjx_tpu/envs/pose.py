@@ -17,6 +17,9 @@ from myosuite_mjx_tpu.envs.base import MyoEnv
 
 
 class PoseEnv(MyoEnv):
+  # obs/reward are contact-free: reset can skip collision + the Newton
+  # solve (see MyoEnv.RESET_CONSTRAINT)
+  RESET_CONSTRAINT = False
   DEFAULT_OBS_KEYS = ["qpos", "qvel", "pose_err"]
   DEFAULT_RWD_KEYS_AND_WEIGHTS = {
       "pose": 1.0,

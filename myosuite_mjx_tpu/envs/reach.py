@@ -18,6 +18,9 @@ from myosuite_mjx_tpu.envs.base import MyoEnv
 
 
 class ReachEnv(MyoEnv):
+  # obs/reward are contact-free: reset can skip collision + the Newton
+  # solve (see MyoEnv.RESET_CONSTRAINT)
+  RESET_CONSTRAINT = False
   DEFAULT_OBS_KEYS = ["qpos", "qvel", "tip_pos", "reach_err"]
   DEFAULT_RWD_KEYS_AND_WEIGHTS = {
       "reach": 1.0,

@@ -9,12 +9,13 @@ gait-cycle-data initialization with height adjustment, and the win/lose/
 score rules (run forward to y < end_pos; lose on leaving the track, going
 backward past start+2, or falling).
 
-Approximations, each documented inline: the OSL "load" sensor (a site force
-sensor in the reference) is the vertical ground-reaction force on the
-prosthetic foot — the same transmitted load the hardware's load cell
-measures, up to foot inertial terms; the per-joint pain signal reads the
-engine's joint-limit constraint forces directly (Data.efc_force_limit)
-instead of re-projecting efc rows through mj_mulJacTVec.
+The OSL "load" input and the socket_force obs read the real site <force>
+sensors (r_osl_load / r_socket_load) through the engine's
+mj_rnePostConstraint-equivalent (engine/sensors.force_sensor,
+parity-tested in tests/test_sensors.py). Remaining approximation,
+documented inline: the per-joint pain signal reads the engine's
+joint-limit constraint forces directly (Data.efc_force_limit) instead of
+re-projecting efc rows through mj_mulJacTVec.
 """
 from __future__ import annotations
 
@@ -99,6 +100,12 @@ class RunTrackEnv(MyoEnv):
     self.osl_foot_bid = m.name2id("body", "osl_foot_assembly")
     self.grf_sensors = ["l_foot", "l_toes"]
     self.osl_touch = int(m.sensor_objid[m.name2id("sensor", "r_osl_foot")])
+    # site <force> sensors (engine/sensors.force_sensor): the OSL load
+    # cell and the residual-limb socket load (run_track_v0.py:638,925-928)
+    self.osl_load_site = int(m.sensor_objid[m.name2id("sensor",
+                                                      "r_osl_load")])
+    self.socket_site = int(m.sensor_objid[m.name2id("sensor",
+                                                    "r_socket_load")])
     self.btm_sites = [m.name2id("site", s) for s in
                       ("r_heel_btm", "r_toe_btm", "l_heel_btm", "l_toe_btm")]
 
@@ -241,9 +248,10 @@ class RunTrackEnv(MyoEnv):
   # ---- OSL-in-the-loop step ------------------------------------------------
 
   def _osl_sens(self, data: Data) -> jax.Array:
-    # load: vertical GRF transmitted through the prosthetic foot (proxy
-    # for the reference's r_osl_load site force sensor, run_track:911-930)
-    load = sensors.touch_sensor(self.model, data, self.osl_touch)
+    # load: -1 x the y-component of the r_osl_load site force sensor
+    # (run_track_v0.py:925-928), via the engine's mj_rnePostConstraint-
+    # style force sensor
+    load = -sensors.force_sensor(self.model, data, self.osl_load_site)[1]
     return jnp.stack([
         data.qpos[self._osl_qadr[0]], data.qvel[self._osl_dadr[0]],
         data.qpos[self._osl_qadr[1]], data.qvel[self._osl_dadr[1]],
@@ -290,7 +298,8 @@ class RunTrackEnv(MyoEnv):
         "internal_qpos": data.qpos[self._bio_qadr],
         "internal_qvel": data.qvel[self._bio_dadr] * self.dt,
         "grf": grf,
-        "socket_force": jnp.zeros(3, self.dtype),  # see module docstring
+        "socket_force": sensors.force_sensor(
+            m, data, self.socket_site).astype(self.dtype),
         "torso_angle": data.xquat[self.pelvis_bid],
         "muscle_length": data.actuator_length[self._bio_act],
         "muscle_velocity": jnp.clip(

@@ -26,6 +26,8 @@ import json
 import os
 import time
 
+import jax
+
 
 def build_parser() -> argparse.ArgumentParser:
   ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
@@ -124,6 +126,11 @@ def main(argv=None):
   writer = metrics_mod.MetricsWriter(args.logdir) if args.logdir else None
   for it in range(start_iter, iters):
     ts, metrics = step_fn(ts)
+    if it == start_iter:
+      # restart the rate window now that the one-time train-step compile
+      # is paid, so the first logged steps_per_s is a real rate
+      jax.block_until_ready(ts.params)
+      last_t, last_steps = time.time(), (it + 1) * per_iter
     if eval_fn is not None and ((it + 1) % args.eval_every == 0
                                 or it == iters - 1):
       metrics = {**metrics, **eval_fn(ts)}

@@ -21,9 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ZOO_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "train_artifacts", "zoo")
+# Zoo location: env-var override first (mirrors MYOSUITE_TPU_ASSETS) so an
+# installed (site-packages) copy of the package can still find a checked-out
+# or downloaded zoo; default is the repo-layout path relative to this file.
+ZOO_DIR = os.environ.get(
+    "MYOSUITE_TPU_ZOO",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "train_artifacts", "zoo"))
 
 
 def save_snapshot(path: str, ppo, ts, env_id: str) -> dict:
@@ -76,6 +81,12 @@ class Policy:
 
 
 def load_policy(path: str) -> Policy:
+  """Load a policy snapshot written by ``save_snapshot``.
+
+  Trust note: snapshots are pickles (matching the reference's pickle zoo,
+  e.g. agents/baslines_NPG/*.pickle) — unpickling executes code, so only
+  load snapshots from sources you trust.
+  """
   with open(path, "rb") as f:
     snap = pickle.load(f)
   if not (isinstance(snap, dict) and "params" in snap):

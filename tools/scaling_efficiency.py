@@ -57,16 +57,18 @@ def run(num_envs: int, iters: int, env_id: str):
   pppo = PPO(env, pcfg)
 
   ts_ref, m_ref = jax.jit(pppo.train_step)(pppo.init(0))
-  p_ref = np.asarray(jax.tree.leaves(ts_ref.params)[0])
 
   rows = []
   for n in (1, 2, 4, 8):
     devs = jax.devices()[:n]
     psh = pmesh.ShardedPPO(pppo, pmesh.data_mesh(devs))
     ts_p, m_p = psh.train_step(psh.init(0))
-    np.testing.assert_allclose(
-        np.asarray(jax.tree.leaves(ts_p.params)[0]), p_ref, atol=1e-5,
-        err_msg=f"sharded(n={n}) != single-device params")
+    # full-pytree parity: every layer's weights and the policy log_std
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=f"sharded(n={n}) != single-device params"),
+        ts_p.params, ts_ref.params)
     np.testing.assert_allclose(
         float(m_p["reward_mean"]), float(m_ref["reward_mean"]), rtol=1e-5)
 
