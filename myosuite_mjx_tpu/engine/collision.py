@@ -496,7 +496,7 @@ def _capsule_ellipsoid(gpos1, gmat1, r1, h1, gpos2, gmat2, radii):
   b_l = gmat2.T @ (b - gpos2)
 
   def surf(p, mu):
-    x, n, dist, mu = _ellipsoid_proj(p, radii, mu_ws=mu, iters=4)
+    x, n, dist, mu = _ellipsoid_proj(p, radii, mu_ws=mu, iters=6)
     return x, n, dist, mu
 
   # first eval uses the certified cold start
@@ -504,7 +504,10 @@ def _capsule_ellipsoid(gpos1, gmat1, r1, h1, gpos2, gmat2, radii):
   t, mu = _seg_surface_argmin(a_l, b_l, surf, mu0, iters=11)
   p = a + t * (b - a)
   local = gmat2.T @ (p - gpos2)
-  x, n_local, dist_c, _ = _ellipsoid_proj(local, radii, mu_ws=mu, iters=6)
+  # 16 iterations: deep-inside points sit near the -amin^2 pole where
+  # Newton gains ~1 bit/iteration; the contact value must be accurate in
+  # the penetration regime the solver integrates (tests/test_deep_penetration.py)
+  x, n_local, dist_c, _ = _ellipsoid_proj(local, radii, mu_ws=mu, iters=16)
   dist = dist_c - r1
   n = -(gmat2 @ n_local)           # from capsule (g1) toward ellipsoid (g2)
   surf_ell = gpos2 + gmat2 @ x

@@ -123,7 +123,10 @@ def main(argv=None):
   last_t, last_steps = t0, start_iter * per_iter
   history = []
   from myosuite_mjx_tpu.train import metrics as metrics_mod
-  writer = metrics_mod.MetricsWriter(args.logdir) if args.logdir else None
+  writer = (metrics_mod.MetricsWriter(
+      args.logdir,
+      truncate_after=start_iter * per_iter if args.resume else None)
+      if args.logdir else None)
   for it in range(start_iter, iters):
     ts, metrics = step_fn(ts)
     if it == start_iter:
