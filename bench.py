@@ -44,11 +44,9 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 # persistent compile cache: the hand env step takes minutes to compile
-jax.config.update(
-    "jax_compilation_cache_dir",
+from myosuite_mjx_tpu.utils import compile_cache  # noqa: E402
+compile_cache.enable(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 MODELS = {
     "finger": "/root/reference/myosuite/simhive/myo_sim/finger/"

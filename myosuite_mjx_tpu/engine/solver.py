@@ -234,6 +234,7 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     out = out.replace(contact=contact_info,
                       contact_force=cforce,
                       contact_force_vec=force_world,
-                      ne_active=jnp.sum(contact_info.dist < 0),
+                      ne_active=jnp.sum(contact_info.dist < 0,
+                                        dtype=jnp.int32),
                       ncon_dropped=contact_blocks["dropped"])
   return out

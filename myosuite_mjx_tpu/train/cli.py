@@ -66,12 +66,10 @@ def main(argv=None):
 
   # persistent compile cache: the jitted train step dominates cold-start
   # wall time (minutes at hand scale); repeated/resumed runs skip it
-  jax.config.update(
-      "jax_compilation_cache_dir",
+  from myosuite_mjx_tpu.utils import compile_cache
+  compile_cache.enable(
       os.path.join(os.path.dirname(os.path.dirname(
           os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
-  jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
   from myosuite_mjx_tpu import envs
   from myosuite_mjx_tpu.train import checkpoint

@@ -26,10 +26,14 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: env reset/step jits dominate test wall time
 # (hand/leg scenes take minutes to compile on CPU); cached executables cut
-# repeat runs to seconds. Safe across processes (content-addressed).
+# repeat runs to seconds. Entries are content-addressed and written
+# atomically (temp + rename, see utils/compile_cache.py) so a killed test
+# run cannot leave truncated entries that segfault later readers.
+import sys  # noqa: E402
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir)))
+from myosuite_mjx_tpu.utils import compile_cache  # noqa: E402
 _cache_dir = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+compile_cache.enable(_cache_dir)

@@ -24,9 +24,8 @@ def main():
   ap.add_argument("--eval-every", type=int, default=50)
   args = ap.parse_args()
 
-  import jax
-  jax.config.update(
-      "jax_compilation_cache_dir",
+  from myosuite_mjx_tpu.utils import compile_cache
+  compile_cache.enable(
       os.path.join(os.path.dirname(os.path.dirname(
           os.path.abspath(__file__))), ".jax_cache"))
 
