@@ -29,9 +29,17 @@ from myosuite_mjx_tpu.envs.base import EnvState, MyoEnv
 
 
 class ActorCritic(nn.Module):
-  """Tanh-MLP actor-critic with state-independent log-std."""
+  """Tanh-MLP actor-critic with state-independent log-std.
+
+  init/min log-std follow the reference NPG job config that solves the
+  hand-scale pose tasks (agents/baslines_NPG/.../job_config.yaml:
+  init_log_std -0.25, min_log_std -1.0): the floor prevents the
+  exploration collapse that stalls muscle-space policies.
+  """
   act_dim: int
   hidden: tuple = (256, 128)
+  init_log_std: float = -0.5
+  min_log_std: float = -jnp.inf
 
   @nn.compact
   def __call__(self, obs):
@@ -40,7 +48,9 @@ class ActorCritic(nn.Module):
       x = nn.tanh(nn.Dense(h)(x))
     mean = nn.Dense(self.act_dim)(x)
     log_std = self.param(
-        "log_std", nn.initializers.constant(-0.5), (self.act_dim,))
+        "log_std", nn.initializers.constant(self.init_log_std),
+        (self.act_dim,))
+    log_std = jnp.maximum(log_std, self.min_log_std)
     v = obs
     for h in self.hidden:
       v = nn.tanh(nn.Dense(h)(v))
@@ -69,6 +79,11 @@ class PPOConfig:
   data_groups: int = 8
   # SB3 VecNormalize parity (reference agents/sb3_job_script.py:49-56):
   # running obs standardization and return-scaled reward normalization
+  # exploration-noise floor + init (reference NPG hand-pose recipe,
+  # agents/baslines_NPG job_config.yaml) — min_log_std > -inf guards
+  # against the std collapsing before the task is explored
+  init_log_std: float = -0.5
+  min_log_std: float = -jnp.inf
   normalize_obs: bool = True
   normalize_reward: bool = True
   norm_clip: float = 10.0
@@ -130,7 +145,9 @@ class PPO:
     self.env = env
     self.cfg = config
     self.net = ActorCritic(act_dim=getattr(env, "action_dim", env.model.nu),
-                           hidden=config.hidden)
+                           hidden=config.hidden,
+                           init_log_std=config.init_log_std,
+                           min_log_std=config.min_log_std)
     self.tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adam(config.learning_rate),

@@ -44,7 +44,8 @@ def test_env_contract_heavy(env_id):
 def test_env_contract(env_id):
   env = envs.make(env_id)
   key = jax.random.PRNGKey(3)
-  st = env.reset(key)
+  reset = jax.jit(env.reset)
+  st = reset(key)
   assert st.obs.ndim == 1 and st.obs.size > 0
   assert np.isfinite(np.asarray(st.obs)).all()
 
@@ -57,7 +58,7 @@ def test_env_contract(env_id):
     assert k in st2.info
 
   # reseed determinism
-  st_b = env.reset(jax.random.PRNGKey(3))
+  st_b = reset(jax.random.PRNGKey(3))
   np.testing.assert_allclose(np.asarray(st.obs), np.asarray(st_b.obs))
   st2_b = jax.jit(env.step)(st_b, act)
   np.testing.assert_allclose(np.asarray(st2.obs), np.asarray(st2_b.obs))
@@ -65,7 +66,7 @@ def test_env_contract(env_id):
 
   # different seed ⇒ different state for random tasks
   if "Random" in env_id:
-    st_c = env.reset(jax.random.PRNGKey(4))
+    st_c = reset(jax.random.PRNGKey(4))
     assert not np.allclose(np.asarray(st.obs), np.asarray(st_c.obs))
 
 
@@ -75,7 +76,8 @@ def test_batched_matches_single():
   batched = envs.BatchedEnv(env, B)
   keys = jax.random.split(jax.random.PRNGKey(0), B)
   bs = batched.reset(keys)
-  single = [env.reset(k) for k in keys]
+  jr = jax.jit(env.reset)
+  single = [jr(k) for k in keys]
   for i in range(B):
     np.testing.assert_allclose(
         np.asarray(bs.obs[i]), np.asarray(single[i].obs), atol=1e-6)
@@ -83,8 +85,9 @@ def test_batched_matches_single():
   acts = jax.random.uniform(jax.random.PRNGKey(1), (B, env.action_dim),
                             minval=-1, maxval=1)
   bs2 = batched.step(bs, acts)
+  jstep = jax.jit(env.autoreset_step)
   for i in range(B):
-    s2 = env.autoreset_step(single[i], acts[i])
+    s2 = jstep(single[i], acts[i])
     np.testing.assert_allclose(
         np.asarray(bs2.obs[i]), np.asarray(s2.obs), atol=1e-5)
 

@@ -40,7 +40,7 @@ def test_marker_offset_semantics():
 
 def test_des_rot_matches_reference_formula():
   env = envs.make("myoHandReorient8-v0")
-  st = env.reset(jax.random.PRNGKey(7))
+  st = jax.jit(env.reset)(jax.random.PRNGKey(7))
   aux = st.aux
   # obj_des_rot must equal R(q_des) e_z * 2*off/0.07 with unit-norm scale
   scale = float(aux["scale"])
@@ -55,7 +55,7 @@ def test_des_rot_matches_reference_formula():
 
 def test_overlay_sets_active_geom_only():
   env = envs.make("myoHandReorient100-v0")
-  st = env.reset(jax.random.PRNGKey(1))
+  st = jax.jit(env.reset)(jax.random.PRNGKey(1))
   sizes = np.asarray(st.data.overlay["geom_size"])
   t = int(st.aux["type_idx"])
   active = env.obj_gids[t]
@@ -69,17 +69,22 @@ def test_overlay_sets_active_geom_only():
       1.2)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_object_rests_in_palm(seed):
-  """Each object type must interact with the hand (not fall through)."""
+def test_object_rests_in_palm():
+  """Each object type must interact with the hand (not fall through).
+
+  Single test over 4 seeds (one jit of reset/step shared across seeds —
+  the parametrized form recompiled the SAR scene per case)."""
   env = envs.make("myoHandReorient8-v0")
-  st = env.reset(jax.random.PRNGKey(seed))
-  z0 = float(st.data.xpos[env.obj_bid][2])
+  reset = jax.jit(env.reset)
   step = jax.jit(env.step)
   a = jnp.zeros((env.model.nu,))
-  for _ in range(25):
-    st = step(st, a)
-  z = float(st.data.xpos[env.obj_bid][2])
-  # 25 steps * 10 ms free fall would drop ~0.31 m; contact keeps it close
-  assert z0 - z < 0.08, f"object fell through palm: {z0} -> {z}"
-  assert np.isfinite(np.asarray(st.obs)).all()
+  for seed in range(4):
+    st = reset(jax.random.PRNGKey(seed))
+    z0 = float(st.data.xpos[env.obj_bid][2])
+    for _ in range(25):
+      st = step(st, a)
+    z = float(st.data.xpos[env.obj_bid][2])
+    # 25 steps * 10 ms free fall would drop ~0.31 m; contact keeps it
+    # close
+    assert z0 - z < 0.08, f"seed {seed}: object fell through: {z0} -> {z}"
+    assert np.isfinite(np.asarray(st.obs)).all()

@@ -15,13 +15,20 @@ def env():
   return envs.make("myoChallengeOslRunFixed-v0")
 
 
+@pytest.fixture(scope="module")
+def jreset(env):
+  # jit the leg-scale reset once per module: eager dispatch of the
+  # 80-MTU scene is minutes of op-by-op overhead on CPU
+  return jax.jit(env.reset)
+
+
 def test_action_space_excludes_osl(env):
   assert env.action_dim == env.model.na == 54
   assert env.model.nu == 56
 
 
-def test_reset_modes(env):
-  st = env.reset(jax.random.PRNGKey(0))
+def test_reset_modes(env, jreset):
+  st = jreset(jax.random.PRNGKey(0))
   # random reset: y at start+1, yaw in [-125deg, -60deg]
   assert float(st.data.qpos[1]) == pytest.approx(env.start_pos + 1)
   assert abs(float(st.data.qpos[0])) <= 0.8 * env.real_width + 1e-6
@@ -33,8 +40,8 @@ def test_reset_modes(env):
   assert abs(lows.min() - 0.005) < 1e-4
 
 
-def test_osl_machine_advances_under_load(env):
-  st = env.reset(jax.random.PRNGKey(0))
+def test_osl_machine_advances_under_load(env, jreset):
+  st = jreset(jax.random.PRNGKey(0))
   step = jax.jit(env.step)
   a = jnp.zeros(env.action_dim)
   states = [int(st.aux["osl_state"])]
@@ -47,8 +54,8 @@ def test_osl_machine_advances_under_load(env):
   assert float(st.data.xpos[env.pelvis_bid][2]) > 0.6
 
 
-def test_reward_contract(env):
-  st = env.reset(jax.random.PRNGKey(1))
+def test_reward_contract(env, jreset):
+  st = jreset(jax.random.PRNGKey(1))
   obs = env.get_obs_dict(st.data, st.aux)
   rwd = env.get_reward_dict(obs, st.data, st.aux)
   for k in ("sparse", "solved", "done", "act_reg", "pain"):
@@ -60,9 +67,10 @@ def test_reward_contract(env):
 
 def test_random_terrain_overlay():
   env = envs.make("myoChallengeOslRunRandom-v0")
+  jr = jax.jit(env.reset)
   types = set()
   for s in range(6):
-    st = env.reset(jax.random.PRNGKey(s))
+    st = jr(jax.random.PRNGKey(s))
     types.add(int(st.aux["terrain_type"]))
     hf = np.asarray(st.data.overlay["hfield_data"])
     assert hf.shape == (env.model.hfield_nrow[0] * env.model.hfield_ncol[0],)
@@ -74,7 +82,7 @@ def test_random_terrain_overlay():
 def test_gait_data_init():
   env = envs.make("myoChallengeOslRunFixed-v0", cache=False,
                   reset_type="osl_init")
-  st = env.reset(jax.random.PRNGKey(3))
+  st = jax.jit(env.reset)(jax.random.PRNGKey(3))
   assert np.isfinite(np.asarray(st.obs)).all()
   assert int(st.aux["osl_state"]) in (0, 1, 2, 3)
   # forward speed comes from the gait sample (nonzero)
