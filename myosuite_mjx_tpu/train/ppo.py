@@ -348,18 +348,22 @@ class PPO:
     env = self.env
 
     def body(carry, _):
-      st = carry
+      st, cnt, succ, eps = carry
       obs = (ts.obs_norm.apply(st.obs, cfg.norm_clip)
              if cfg.normalize_obs else st.obs)
       mean, _, _ = self.net.apply(ts.params, obs)
       nxt = jax.vmap(env.autoreset_step)(st, jnp.clip(mean, -1.0, 1.0))
-      out = dict(
-          reward=nxt.info["rwd_dense"],
-          solved=nxt.info["solved"].astype(jnp.float32),
-          done=(nxt.info["terminated"]
-                | nxt.info["truncated"]).astype(jnp.float32),
-      )
-      return nxt, out
+      solved = nxt.info["solved"].astype(jnp.float32)
+      done = (nxt.info["terminated"]
+              | nxt.info["truncated"]).astype(jnp.float32)
+      # reference evaluate_success (env_base.py:744-770): an episode
+      # succeeds when solved on MORE than `successful_steps`(=5) steps
+      cnt = cnt + solved
+      succ = succ + done * (cnt > 5.0)
+      eps = eps + done
+      cnt = cnt * (1.0 - done)
+      out = dict(reward=nxt.info["rwd_dense"], solved=solved, done=done)
+      return (nxt, cnt, succ, eps), out
 
     # dedicated eval stream: fold a tag + the step counter into ts.key so
     # eval episodes are decorrelated from the training rollout streams
@@ -368,10 +372,13 @@ class PPO:
         jax.random.fold_in(ts.key, 0x45564C), ts.steps.astype(jnp.uint32))
     keys = jax.random.split(eval_key, num_envs)
     st0 = jax.vmap(env.reset)(keys)
-    _, tr = jax.lax.scan(body, st0, (), length=num_episodes_steps)
+    zeros = jnp.zeros((num_envs,))
+    (_, _, succ, eps), tr = jax.lax.scan(
+        body, (st0, zeros, zeros, zeros), (), length=num_episodes_steps)
     episodes = jnp.maximum(tr["done"].sum(), 1.0)
     return dict(
         eval_solved_frac=tr["solved"].mean(),
+        eval_success=succ.sum() / jnp.maximum(eps.sum(), 1.0),
         eval_reward_mean=tr["reward"].mean(),
         eval_episodes=episodes,
     )

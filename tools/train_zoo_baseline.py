@@ -22,6 +22,9 @@ def main():
   ap.add_argument("--total-steps", type=int, default=2_000_000)
   ap.add_argument("--seed", type=int, default=0)
   ap.add_argument("--eval-every", type=int, default=50)
+  ap.add_argument("--config", default="{}",
+                  help="JSON dict of PPOConfig overrides, e.g. "
+                       "'{\"min_log_std\": -1.0, \"num_envs\": 1024}'")
   args = ap.parse_args()
 
   from myosuite_mjx_tpu.utils import compile_cache
@@ -34,12 +37,17 @@ def main():
   from myosuite_mjx_tpu.train import zoo
 
   env = envs.make(args.env)
-  ppo = PPO(env, PPOConfig())
+  overrides = json.loads(args.config)
+  if "hidden" in overrides:
+    overrides["hidden"] = tuple(overrides["hidden"])
+  ppo = PPO(env, PPOConfig(**overrides))
   ts, history = ppo.train(total_env_steps=args.total_steps, seed=args.seed,
                           eval_every=args.eval_every)
   evals = [m.get("eval_solved_frac") for m in history
            if "eval_solved_frac" in m]
-  print(f"final eval_solved_frac: {evals[-1] if evals else None}")
+  succ = [m.get("eval_success") for m in history if "eval_success" in m]
+  print(f"final eval_solved_frac: {evals[-1] if evals else None} "
+        f"eval_success: {succ[-1] if succ else None}")
 
   path = os.path.join(zoo.ZOO_DIR, f"{args.env}.pkl")
   zoo.save_snapshot(path, ppo, ts, env_id=args.env)
