@@ -259,6 +259,10 @@ class MyoEnv:
         aux=aux)
 
   def reset(self, rng: jax.Array) -> EnvState:
+    with jax.default_matmul_precision("highest"):  # see step()
+      return self._reset_impl(rng)
+
+  def _reset_impl(self, rng: jax.Array) -> EnvState:
     rng, k_aux, k_state, k_fat = jax.random.split(rng, 4)
     aux = self.reset_aux(k_aux)
     if self.muscle_condition == "fatigue":
@@ -334,6 +338,15 @@ class MyoEnv:
   _SUBSTEP_CARRY = ("qpos", "qvel", "act", "time", "qacc", "qacc_warmstart")
 
   def step(self, state: EnvState, action: jax.Array) -> EnvState:
+    # Pin f32 matmuls regardless of how the caller jits: TPU's default
+    # bfloat16 matmul precision visibly corrupts closed-loop behavior
+    # (measured: a solved reference policy drops 614 -> 298 return on
+    # myoFingerPoseFixed when stepped without this pin). BatchedEnv /
+    # Physics / bench already pin; this covers direct jit(vmap(env.step)).
+    with jax.default_matmul_precision("highest"):
+      return self._step_impl(state, action)
+
+  def _step_impl(self, state: EnvState, action: jax.Array) -> EnvState:
     ctrl = self._action_to_ctrl(action.astype(self.dtype))
     ctrl, aux = self._apply_muscle_condition(ctrl, state.aux)
     d = state.data.replace(ctrl=ctrl)

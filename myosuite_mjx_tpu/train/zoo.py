@@ -51,6 +51,37 @@ def save_snapshot(path: str, ppo, ts, env_id: str) -> dict:
   return snap
 
 
+def save_mlp_snapshot(path: str, env_id: str, layers: list,
+                      in_shift, in_scale, out_shift, out_scale,
+                      nonlinearity: str = "tanh",
+                      source: str | None = None) -> dict:
+  """Freeze a plain feedforward policy (e.g. weights imported from a
+  reference mjrl/NPG pickle) into a zoo snapshot.
+
+  ``layers`` is a list of (W, b) with W of shape [in, out]; the forward
+  pass is the mjrl FCNetwork contract (mjrl/utils/fc_network.py semantics,
+  consumed by the reference's examine_env --policy_path rollouts):
+  ``h = (obs - in_shift) / (in_scale + 1e-8)`` through hidden
+  nonlinearities, then ``out * out_scale + out_shift``.
+  """
+  snap = {
+      "format": "myosuite_mjx_tpu/policy-mlp-v1",
+      "env_id": env_id,
+      "layers": [(np.asarray(w, np.float32), np.asarray(b, np.float32))
+                 for w, b in layers],
+      "in_shift": np.asarray(in_shift, np.float32),
+      "in_scale": np.asarray(in_scale, np.float32),
+      "out_shift": np.asarray(out_shift, np.float32),
+      "out_scale": np.asarray(out_scale, np.float32),
+      "nonlinearity": nonlinearity,
+      "source": source or "",
+  }
+  os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+  with open(path, "wb") as f:
+    pickle.dump(snap, f)
+  return snap
+
+
 class Policy:
   """Deterministic inference policy from a snapshot: obs -> action.
 
@@ -59,9 +90,20 @@ class Policy:
   """
 
   def __init__(self, snap: dict):
-    from myosuite_mjx_tpu.train.ppo import ActorCritic
     self.snap = snap
     self.env_id = snap["env_id"]
+    self._fmt = snap.get("format", "myosuite_mjx_tpu/policy-v1")
+    if self._fmt == "myosuite_mjx_tpu/policy-mlp-v1":
+      self._layers = [(jnp.asarray(w), jnp.asarray(b))
+                      for w, b in snap["layers"]]
+      self._in_shift = jnp.asarray(snap["in_shift"])
+      self._in_scale = jnp.asarray(snap["in_scale"])
+      self._out_shift = jnp.asarray(snap["out_shift"])
+      self._out_scale = jnp.asarray(snap["out_scale"])
+      self._nl = {"tanh": jnp.tanh, "relu": jax.nn.relu}[
+          snap.get("nonlinearity", "tanh")]
+      return
+    from myosuite_mjx_tpu.train.ppo import ActorCritic
     self.net = ActorCritic(act_dim=snap["act_dim"],
                            hidden=tuple(snap["hidden"]))
     self._params = jax.tree.map(jnp.asarray, snap["params"])
@@ -71,6 +113,17 @@ class Policy:
     self._clip = float(snap.get("norm_clip", 10.0))
 
   def act(self, obs: jax.Array, key=None) -> jax.Array:
+    with jax.default_matmul_precision("highest"):  # TPU bf16-default guard
+      return self._act_impl(obs)
+
+  def _act_impl(self, obs: jax.Array) -> jax.Array:
+    if self._fmt == "myosuite_mjx_tpu/policy-mlp-v1":
+      x = (obs - self._in_shift) / (self._in_scale + 1e-8)
+      for w, b in self._layers[:-1]:
+        x = self._nl(x @ w + b)
+      w, b = self._layers[-1]
+      x = (x @ w + b) * self._out_scale + self._out_shift
+      return jnp.clip(x, -1.0, 1.0)
     if self._norm:
       obs = jnp.clip((obs - self._mean) / jnp.sqrt(self._var + 1e-8),
                      -self._clip, self._clip)

@@ -41,8 +41,15 @@ def main():
   if "hidden" in overrides:
     overrides["hidden"] = tuple(overrides["hidden"])
   ppo = PPO(env, PPOConfig(**overrides))
+
+  def progress(it, m):
+    if (it + 1) % 10 == 0 or "eval_solved_frac" in m:
+      print(json.dumps({"iter": it + 1,
+                        **{k: round(float(v), 5) for k, v in m.items()}}),
+            flush=True)
+
   ts, history = ppo.train(total_env_steps=args.total_steps, seed=args.seed,
-                          eval_every=args.eval_every)
+                          eval_every=args.eval_every, progress=progress)
   evals = [m.get("eval_solved_frac") for m in history
            if "eval_solved_frac" in m]
   succ = [m.get("eval_success") for m in history if "eval_success" in m]
