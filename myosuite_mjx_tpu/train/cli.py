@@ -32,7 +32,7 @@ import jax
 def build_parser() -> argparse.ArgumentParser:
   ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
   ap.add_argument("--env", required=True, help="registered task ID")
-  ap.add_argument("--algo", default="ppo", choices=("ppo", "sac"))
+  ap.add_argument("--algo", default="ppo", choices=("ppo", "npg", "sac"))
   ap.add_argument("--total-steps", type=int, default=1_000_000)
   ap.add_argument("--seed", type=int, default=0)
   ap.add_argument("--num-envs", type=int, default=None,
@@ -89,6 +89,11 @@ def main(argv=None):
     cfg = PPOConfig(**overrides)
     learner = PPO(env, cfg)
     per_iter = cfg.unroll_length * cfg.num_envs
+  elif args.algo == "npg":
+    from myosuite_mjx_tpu.train.npg import NPG, NPGConfig
+    cfg = NPGConfig(**overrides)
+    learner = NPG(env, cfg)
+    per_iter = cfg.num_envs * int(env.horizon)
   else:
     from myosuite_mjx_tpu.train.sac import SAC, SACConfig
     cfg = SACConfig(**overrides)
@@ -113,7 +118,7 @@ def main(argv=None):
 
   step_fn = jax.jit(learner.train_step)
   eval_fn = None
-  if args.eval_every and args.algo == "ppo":
+  if args.eval_every and args.algo in ("ppo", "npg"):
     eval_fn = jax.jit(learner.ppo.eval_step
                       if hasattr(learner, "ppo") else learner.eval_step)
   iters = max(1, args.total_steps // per_iter)

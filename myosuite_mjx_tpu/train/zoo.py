@@ -51,10 +51,37 @@ def save_snapshot(path: str, ppo, ts, env_id: str) -> dict:
   return snap
 
 
+def save_npg_snapshot(path: str, npg, ts, env_id: str) -> dict:
+  """Freeze an NPG NPGState into a policy-mlp-v1 snapshot: the GaussianMLP
+  mean path becomes explicit (W, b) layers and the running obs
+  normalization folds into in_shift/in_scale (with the trainer's ±clip
+  recorded as in_clip)."""
+  dense = ts.params["params"]
+  names = sorted((k for k in dense if k.startswith("Dense_")),
+                 key=lambda s: int(s.split("_")[1]))
+  layers = [(np.asarray(dense[n]["kernel"]), np.asarray(dense[n]["bias"]))
+            for n in names]
+  obs_dim = layers[0][0].shape[0]
+  if npg.cfg.normalize_obs:
+    in_shift = np.asarray(ts.obs_norm.mean)
+    in_scale = np.sqrt(np.asarray(ts.obs_norm.var) + 1e-8)
+  else:
+    in_shift = np.zeros(obs_dim)
+    in_scale = np.ones(obs_dim)
+  snap = save_mlp_snapshot(
+      path, env_id, layers, in_shift, in_scale,
+      out_shift=np.zeros(layers[-1][0].shape[1]),
+      out_scale=np.ones(layers[-1][0].shape[1]),
+      nonlinearity="tanh", source=f"npg@{int(ts.steps)}steps",
+      in_clip=float(npg.cfg.norm_clip))
+  return snap
+
+
 def save_mlp_snapshot(path: str, env_id: str, layers: list,
                       in_shift, in_scale, out_shift, out_scale,
                       nonlinearity: str = "tanh",
-                      source: str | None = None) -> dict:
+                      source: str | None = None,
+                      in_clip: float | None = None) -> dict:
   """Freeze a plain feedforward policy (e.g. weights imported from a
   reference mjrl/NPG pickle) into a zoo snapshot.
 
@@ -75,6 +102,7 @@ def save_mlp_snapshot(path: str, env_id: str, layers: list,
       "out_scale": np.asarray(out_scale, np.float32),
       "nonlinearity": nonlinearity,
       "source": source or "",
+      "in_clip": in_clip,
   }
   os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
   with open(path, "wb") as f:
@@ -100,6 +128,7 @@ class Policy:
       self._in_scale = jnp.asarray(snap["in_scale"])
       self._out_shift = jnp.asarray(snap["out_shift"])
       self._out_scale = jnp.asarray(snap["out_scale"])
+      self._in_clip = snap.get("in_clip")
       self._nl = {"tanh": jnp.tanh, "relu": jax.nn.relu}[
           snap.get("nonlinearity", "tanh")]
       return
@@ -119,6 +148,8 @@ class Policy:
   def _act_impl(self, obs: jax.Array) -> jax.Array:
     if self._fmt == "myosuite_mjx_tpu/policy-mlp-v1":
       x = (obs - self._in_shift) / (self._in_scale + 1e-8)
+      if self._in_clip is not None:
+        x = jnp.clip(x, -self._in_clip, self._in_clip)
       for w, b in self._layers[:-1]:
         x = self._nl(x @ w + b)
       w, b = self._layers[-1]

@@ -11,6 +11,13 @@ defenses here:
    killed writer leaves only a stray ``*.tmp`` that no reader opens.
 2. ``sweep_partial(path)`` removes leftover ``*.tmp`` files and
    zero-length entries from crashes that predate the patch.
+3. Entries land in a per-host subdirectory keyed by CPU feature flags +
+   jax version: XLA:CPU persists AOT executables specialized to the
+   *compiling* machine's features, and loading one on a host with a
+   different feature set warns "could lead to execution errors such as
+   SIGILL" — observed as xdist worker crashes when a cache directory
+   outlives a machine migration. Different hosts now read different
+   subtrees instead of each other's machine code.
 
 Use from any entry point that turns the cache on (tests/conftest.py,
 train CLI, bench).  The reference has no equivalent (its CI recompiles
@@ -92,9 +99,26 @@ def sweep_partial(path: str) -> int:
   return removed
 
 
+def _host_tag() -> str:
+  """Fingerprint of what XLA:CPU AOT results are specialized to."""
+  import hashlib
+  import platform
+  feats = ""
+  try:
+    with open("/proc/cpuinfo") as f:
+      for line in f:
+        if line.startswith(("flags", "Features")):
+          feats = line
+          break
+  except OSError:
+    pass
+  raw = f"{platform.machine()}|{feats}|{jax.__version__}"
+  return "host-" + hashlib.sha1(raw.encode()).hexdigest()[:10]
+
+
 def enable(path: str) -> None:
   """Turn on the persistent compile cache at ``path``, crash-safely."""
-  path = os.path.abspath(path)
+  path = os.path.join(os.path.abspath(path), _host_tag())
   os.makedirs(path, exist_ok=True)
   _patch_atomic_put()
   sweep_partial(path)

@@ -161,7 +161,15 @@ def main():
   ap.add_argument("--episodes", type=int, default=64)
   ap.add_argument("--save", action="store_true",
                   help="freeze the imported policy into the zoo")
+  ap.add_argument("--cpu", action="store_true",
+                  help="force CPU JAX (leave the TPU to training jobs; "
+                       "the host sitecustomize overrides JAX_PLATFORMS, "
+                       "so this must be a config update before init)")
   args = ap.parse_args()
+
+  if args.cpu:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
   from myosuite_mjx_tpu.utils import compile_cache
   compile_cache.enable(os.path.join(os.path.dirname(os.path.dirname(

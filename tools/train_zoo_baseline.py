@@ -19,13 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--env", default="myoFingerPoseFixed-v0")
+  ap.add_argument("--algo", default="ppo", choices=("ppo", "npg"))
   ap.add_argument("--total-steps", type=int, default=2_000_000)
   ap.add_argument("--seed", type=int, default=0)
   ap.add_argument("--eval-every", type=int, default=50)
   ap.add_argument("--config", default="{}",
-                  help="JSON dict of PPOConfig overrides, e.g. "
+                  help="JSON dict of PPOConfig/NPGConfig overrides, e.g. "
                        "'{\"min_log_std\": -1.0, \"num_envs\": 1024}'")
+  ap.add_argument("--cpu", action="store_true",
+                  help="force CPU JAX (host sitecustomize overrides "
+                       "JAX_PLATFORMS, so this is a pre-init config "
+                       "update; use to keep the TPU free)")
   args = ap.parse_args()
+
+  if args.cpu:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
   from myosuite_mjx_tpu.utils import compile_cache
   compile_cache.enable(
@@ -40,7 +49,11 @@ def main():
   overrides = json.loads(args.config)
   if "hidden" in overrides:
     overrides["hidden"] = tuple(overrides["hidden"])
-  ppo = PPO(env, PPOConfig(**overrides))
+  if args.algo == "npg":
+    from myosuite_mjx_tpu.train.npg import NPG, NPGConfig
+    ppo = NPG(env, NPGConfig(**overrides))
+  else:
+    ppo = PPO(env, PPOConfig(**overrides))
 
   def progress(it, m):
     if (it + 1) % 10 == 0 or "eval_solved_frac" in m:
@@ -57,7 +70,10 @@ def main():
         f"eval_success: {succ[-1] if succ else None}")
 
   path = os.path.join(zoo.ZOO_DIR, f"{args.env}.pkl")
-  zoo.save_snapshot(path, ppo, ts, env_id=args.env)
+  if args.algo == "npg":
+    zoo.save_npg_snapshot(path, ppo, ts, env_id=args.env)
+  else:
+    zoo.save_snapshot(path, ppo, ts, env_id=args.env)
   with open(path[:-4] + "_metrics.json", "w") as f:
     json.dump({"env": args.env, "seed": args.seed,
                "total_steps": args.total_steps,
