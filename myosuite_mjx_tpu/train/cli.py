@@ -116,11 +116,20 @@ def main(argv=None):
     start_iter = int(ts.steps) // per_iter
     print(f"resumed from {args.resume} at iter {start_iter}")
 
-  step_fn = jax.jit(learner.train_step)
+  def _prec(fn):
+    # f32 matmuls for learner math too (env step pins its own; TPU default
+    # is bf16 pass precision — see envs/base.py MyoEnv.step)
+    def wrapped(*a):
+      with jax.default_matmul_precision("highest"):
+        return fn(*a)
+    return wrapped
+
+  step_fn = jax.jit(_prec(learner.train_step))
   eval_fn = None
   if args.eval_every and args.algo in ("ppo", "npg"):
-    eval_fn = jax.jit(learner.ppo.eval_step
-                      if hasattr(learner, "ppo") else learner.eval_step)
+    eval_fn = jax.jit(_prec(learner.ppo.eval_step
+                            if hasattr(learner, "ppo")
+                            else learner.eval_step))
   iters = max(1, args.total_steps // per_iter)
   t0 = time.time()
   last_t, last_steps = t0, start_iter * per_iter

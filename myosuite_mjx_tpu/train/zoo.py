@@ -173,9 +173,10 @@ def load_policy(path: str) -> Policy:
   """
   with open(path, "rb") as f:
     snap = pickle.load(f)
-  if not (isinstance(snap, dict) and "params" in snap):
+  if not (isinstance(snap, dict) and ("params" in snap
+                                      or "layers" in snap)):
     raise ValueError(f"{path} is not a policy snapshot "
-                     "(expected dict with 'params')")
+                     "(expected dict with 'params' or 'layers')")
   return Policy(snap)
 
 
