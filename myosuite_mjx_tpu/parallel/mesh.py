@@ -113,3 +113,49 @@ class ShardedPPO:
 
   def train_step(self, ts):
     return self._step(ts)
+
+
+class ShardedNPG:
+  """Data-parallel NPG: trajectories sharded over ``data``, learner
+  replicated.
+
+  NPG is full-batch, so the parallel structure is simpler than PPO's:
+  every reduction in the update — the policy gradient, the KL
+  Hessian-vector products inside CG, advantage statistics — contracts the
+  sharded trajectory axis into replicated parameters, which XLA lowers to
+  ICI all-reduces. No shard-local minibatch bookkeeping is needed; the
+  value-function fit's gathers are over a [N*T, obs] batch of a tiny MLP.
+  """
+
+  def __init__(self, npg, mesh: Mesh | None = None):
+    self.npg = npg
+    self.mesh = mesh or data_mesh()
+    n = self.mesh.devices.size
+    if npg.cfg.num_envs % n:
+      raise ValueError(
+          f"num_envs={npg.cfg.num_envs} not divisible by mesh size {n}")
+    npg._mesh = self.mesh  # rollout pins the trajectory-axis sharding
+
+    def _prec(fn):
+      def wrapped(*a):
+        with jax.default_matmul_precision("highest"):
+          return fn(*a)
+      return wrapped
+
+    self._step = jax.jit(_prec(npg.train_step))
+
+  def init(self, seed: int = 0):
+    return self.place(self.npg.init(seed))
+
+  def place(self, ts):
+    rest = replicate(self.mesh, (ts.params, ts.vf_params, ts.vf_opt,
+                                 ts.key, ts.steps, ts.obs_norm))
+    params, vf_params, vf_opt, key, steps, obs_norm = rest
+    return ts.replace(params=params, vf_params=vf_params, vf_opt=vf_opt,
+                      key=key, steps=steps, obs_norm=obs_norm)
+
+  def train_step(self, ts):
+    return self._step(ts)
+
+  def eval_step(self, ts, **kw):
+    return self.npg.eval_step(ts, **kw)

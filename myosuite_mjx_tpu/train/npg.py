@@ -161,6 +161,17 @@ class NPG:
 
     key, k_reset, k_roll = jax.random.split(ts.key, 3)
     st0 = jax.vmap(env.reset)(jax.random.split(k_reset, N))
+    # Under ShardedNPG (parallel/mesh.py) nothing in NPGState carries a
+    # data sharding — episodes restart fresh each iteration — so the
+    # trajectory axis must be pinned here for XLA to distribute the
+    # rollout; reductions then all-reduce into the replicated learner.
+    mesh = getattr(self, "_mesh", None)
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec
+      sh = NamedSharding(mesh, PartitionSpec("data"))
+      st0 = jax.tree.map(
+          lambda x: jax.lax.with_sharding_constraint(x, sh)
+          if getattr(x, "ndim", 0) >= 1 else x, st0)
     (_, _, _), traj = jax.lax.scan(
         rollout_body, (st0, jnp.ones((N,)), k_roll), jnp.arange(T))
 

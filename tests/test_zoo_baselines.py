@@ -19,7 +19,7 @@ from myosuite_mjx_tpu.train import zoo
 
 # env_id -> minimum mean solved fraction over the rollout batch
 FLOORS = {
-    "myoFingerPoseFixed-v0": 0.30,      # trained eval: 0.58
+    "myoFingerPoseFixed-v0": 0.85,      # NPG-trained eval: 0.92/1.0 succ
     "myoElbowPose1D6MRandom-v0": 0.70,  # trained eval: 0.97
 }
 

@@ -52,6 +52,13 @@ def main():
   walker = reflex.ReflexWalker()
   d0, s0 = walker.reset()
   pelvis = walker.pelvis_bid
+  # upright reference: the myolegs pelvis BODY frame is rotated (its local
+  # z is horizontal at stance — xmat[2,2] ~= 0 standing), so "upright" is
+  # measured against the body axis that points world-up at reset:
+  # u = R0^T e_z;  up(t) = e_z . R(t) u   (1 standing, 0 at 90 deg tilt)
+  import numpy as _np
+  up_axis = jnp.asarray(_np.asarray(d0.xmat[pelvis]).T @ _np.array(
+      [0.0, 0.0, 1.0]), jnp.float32)
 
   def score(params):
     """Distance + survival for one gain vector (fixed-length scan)."""
@@ -61,9 +68,8 @@ def main():
       d, s, alive, fall_x, t_alive = carry
       d, s = walker.step(d, s, cp)
       h = d.xpos[pelvis, 2]
-      # pelvis orientation: fall if trunk pitch/roll beyond ~60 deg,
-      # measured via the world z of the pelvis frame's z axis
-      up = d.xmat[pelvis, 2, 2]
+      # pelvis tilt vs the reset orientation: fall past ~60 deg
+      up = d.xmat[pelvis, 2, :] @ up_axis
       ok = (h > 0.65) & (h < 1.25) & (up > 0.5)
       alive = alive & ok
       fall_x = jnp.where(alive, d.xpos[pelvis, 0], fall_x)
