@@ -3,6 +3,7 @@ agents/sb3_job_script.py; contract mirrored from tests/test_sb.py's
 learn(total_timesteps=2) smoke)."""
 import jax
 import numpy as np
+import pytest
 
 from myosuite_mjx_tpu import envs
 from myosuite_mjx_tpu.train.sac import SAC, SACConfig
@@ -45,3 +46,34 @@ def test_sac_buffer_wraps():
     ts, m = step(ts)
   assert bool(ts.buf_full)
   assert int(m["buffer_size"]) == 16
+
+
+@pytest.mark.slow
+def test_sac_solves_finger_pose():
+  """SAC graduation regression (round-4 ask: prove it or drop it).
+
+  The proof run (train_artifacts/sac_proof/myoFingerPoseFixed-v0.json)
+  hit eval_success 1.0 at every 100k-step checkpoint; this regression
+  replays the recipe to 200k steps and requires >= 0.8.
+  """
+  import jax.numpy as jnp
+  env = envs.make("myoFingerPoseFixed-v0")
+  cfg = SACConfig(num_envs=32, updates_per_step=8, learning_starts=5000)
+  sac = SAC(env, cfg)
+  step = jax.jit(sac.train_step)
+  ts = sac.init(seed=0)
+  for _ in range(200_000 // cfg.num_envs):
+    ts, _ = step(ts)
+
+  def body(carry, _):
+    st, cnt = carry
+    mean, _ = sac.actor.apply(ts.actor_params, st.obs)
+    nxt = jax.vmap(env.step)(st, jnp.tanh(mean))
+    return (nxt, cnt + nxt.info["solved"].astype(jnp.float32)), None
+
+  st0 = jax.vmap(env.reset)(
+      jax.random.split(jax.random.PRNGKey(7), 32))
+  (_, cnt), _ = jax.lax.scan(body, (st0, jnp.zeros(32)), (),
+                             length=env.horizon)
+  success = float((cnt > 5).mean())
+  assert success >= 0.8, f"SAC eval_success {success}"

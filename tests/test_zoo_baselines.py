@@ -21,6 +21,7 @@ from myosuite_mjx_tpu.train import zoo
 FLOORS = {
     "myoFingerPoseFixed-v0": 0.85,      # NPG-trained eval: 0.92/1.0 succ
     "myoElbowPose1D6MRandom-v0": 0.70,  # trained eval: 0.97
+    "myoHandPoseFixed-v0": 0.75,        # NPG-trained eval: 0.89/1.0 succ
 }
 
 
