@@ -430,20 +430,27 @@ class ReflexWalker:
     d = data_mod.make_data(m, dtype=jnp.float32)
     d = d.replace(qpos=jnp.asarray(qpos, jnp.float32),
                   qvel=jnp.asarray(qvel, jnp.float32))
-    d = forward_mod.forward(m, d)
+    with jax.default_matmul_precision("highest"):  # see step()
+      d = forward_mod.forward(m, d)
     return d, init_state()
 
   def step(self, d, state: ReflexState, cp: jax.Array):
-    """One control tick: sense -> stim -> 5 physics substeps."""
-    sens = self._sensor_data(d)
-    state, stim = reflex_update(cp, state, sens)
-    d = d.replace(ctrl=self._stim_to_ctrl(stim))
+    """One control tick: sense -> stim -> 5 physics substeps.
 
-    def sub(dd, _):
-      return forward_mod.step(self.model, dd), ()
+    Matmul precision is pinned to f32 like MyoEnv.step: this path calls
+    the engine directly, and on TPU the default bf16 pass precision blows
+    up the leg's implicit-damping/Newton solves within a few ticks
+    (observed: qvel > 100 rad/s by tick 2, every CEM rollout dead)."""
+    with jax.default_matmul_precision("highest"):
+      sens = self._sensor_data(d)
+      state, stim = reflex_update(cp, state, sens)
+      d = d.replace(ctrl=self._stim_to_ctrl(stim))
 
-    d, _ = jax.lax.scan(sub, d, (), length=self.substeps)
-    return d, state
+      def sub(dd, _):
+        return forward_mod.step(self.model, dd), ()
+
+      d, _ = jax.lax.scan(sub, d, (), length=self.substeps)
+      return d, state
 
   def rollout(self, n_steps: int, params=None, init: dict | None = None):
     """Scan ``n_steps`` control ticks; returns (final Data, trajectory

@@ -66,11 +66,19 @@ def main():
 
     def tick(carry, _):
       d, s, alive, fall_x, t_alive = carry
+      prev_x = d.xpos[pelvis, 0]
       d, s = walker.step(d, s, cp)
       h = d.xpos[pelvis, 2]
       # pelvis tilt vs the reset orientation: fall past ~60 deg
       up = d.xmat[pelvis, 2, :] @ up_axis
-      ok = (h > 0.65) & (h < 1.25) & (up > 0.5)
+      # physical-sanity gate: a diverging sim can fly through the valid
+      # height band and bank metres of "distance" in one tick — cap
+      # per-tick displacement at 10 m/s and require finite, bounded
+      # joint velocities before crediting anything
+      sane = (jnp.all(jnp.isfinite(d.qvel))
+              & (jnp.max(jnp.abs(d.qvel)) < 100.0)
+              & (jnp.abs(d.xpos[pelvis, 0] - prev_x) < 0.1))
+      ok = (h > 0.65) & (h < 1.25) & (up > 0.5) & sane
       alive = alive & ok
       fall_x = jnp.where(alive, d.xpos[pelvis, 0], fall_x)
       t_alive = t_alive + alive
