@@ -318,7 +318,9 @@ class ReflexWalker:
   def __init__(self, model_path: str | None = None,
                control_dt: float = 0.01):
     path = model_path or asset("simhive/myo_sim/leg/myolegs.xml")
-    self.model = model_mod.load_model(path, dtype=np.float64)
+    # f32 like the Data it steps: an f64 model under jax_enable_x64 (the
+    # test harness) promotes qvel/qacc mid-scan and breaks the carry
+    self.model = model_mod.load_model(path, dtype=np.float32)
     m = self.model
     self.substeps = max(1, int(round(control_dt / float(m.opt.timestep))))
     self.pelvis_bid = m.name2id("body", "pelvis")
@@ -444,7 +446,10 @@ class ReflexWalker:
     with jax.default_matmul_precision("highest"):
       sens = self._sensor_data(d)
       state, stim = reflex_update(cp, state, sens)
-      d = d.replace(ctrl=self._stim_to_ctrl(stim))
+      # cast: the gain tables are host float64 scalars, which under
+      # jax_enable_x64 are strong types and would promote ctrl -> the
+      # whole physics carry to f64
+      d = d.replace(ctrl=self._stim_to_ctrl(stim).astype(d.qpos.dtype))
 
       def sub(dd, _):
         return forward_mod.step(self.model, dd), ()

@@ -208,7 +208,10 @@ def fwd_constraint(m: Model, d: Data) -> Data:
   if nl:
     # signed per-limited-joint dof force (pain-metric diagnostic)
     jl = force[meta["jl_offset"]:meta["jl_offset"] + nl]
-    out = out.replace(efc_force_limit=meta["jl_sign"] * jl)
+    # jl_sign is host-side float64; cast back so an f32 Data under
+    # jax_enable_x64 is not promoted mid-scan (ne_active-class hazard)
+    out = out.replace(efc_force_limit=(meta["jl_sign"] * jl).astype(
+        d.efc_force_limit.dtype))
   from myosuite_mjx_tpu.engine.model import DSBL_CONTACT
   if contact_info is not None and not (m.opt.disableflags & DSBL_CONTACT):
     # normal force per contact: pyramid rows have unit normal coefficient,
